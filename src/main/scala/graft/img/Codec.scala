@@ -1,0 +1,78 @@
+package graft.img
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Decoded raster: interleaved channel bytes in cv2 memory order
+  * (BGR for 3 channels, BGR+Ir for 4), row-major from the top row —
+  * mirroring cv2.imread (reference: green_spaces/image_loaders.py:85,227;
+  * channel order pinned by tests/test_image_loaders.py:107-192). */
+final case class Raster(data: Array[Byte], w: Int, h: Int, channels: Int) {
+  def pixelOffset(row: Int, col: Int): Int = (row * w + col) * channels
+}
+
+object Codec {
+
+  /** Decode png/jpg bytes to BGR interleaved (3 channels, alpha dropped). */
+  def decodeBGR(bytes: Array[Byte]): Raster = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < w * h) {
+      val p = argb(i)
+      out(i * 3) = (p & 0xff).toByte            // B
+      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte // G
+      out(i * 3 + 2) = ((p >> 16) & 0xff).toByte // R
+      i += 1
+    }
+    Raster(out, w, h, 3)
+  }
+
+  /** Fuse an RGB tile and a CIR tile into BGR+Ir, replicating the
+    * reference's channel selection + bicubic Ir upscale
+    * (image_loaders.py:362-386: Ir = CIR channel 2 as loaded BGR). */
+  def fuseBGRI(rgb: Raster, cir: Raster): Raster = {
+    require(rgb.channels == 3 && cir.channels == 3)
+    // extract Ir plane (channel index 2 of the CIR raster)
+    val irPlane = new Array[Byte](cir.w * cir.h)
+    var i = 0
+    while (i < cir.w * cir.h) { irPlane(i) = cir.data(i * 3 + 2); i += 1 }
+    val irUp =
+      if (cir.w == rgb.w && cir.h == rgb.h) irPlane
+      else Resize.bicubicPlane(irPlane, cir.w, cir.h, rgb.w, rgb.h)
+    val out = new Array[Byte](rgb.w * rgb.h * 4)
+    i = 0
+    while (i < rgb.w * rgb.h) {
+      out(i * 4) = rgb.data(i * 3)
+      out(i * 4 + 1) = rgb.data(i * 3 + 1)
+      out(i * 4 + 2) = rgb.data(i * 3 + 2)
+      out(i * 4 + 3) = irUp(i)
+      i += 1
+    }
+    Raster(out, rgb.w, rgb.h, 4)
+  }
+
+  /** Encode a BGR raster as PNG (used by the synthetic tile generator and
+    * debug sinks; PNG is lossless so decode∘encode is bit-exact). */
+  def encodePNG(r: Raster): Array[Byte] = {
+    require(r.channels == 3)
+    val img = new BufferedImage(r.w, r.h, BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](r.w * r.h)
+    var i = 0
+    while (i < r.w * r.h) {
+      val b = r.data(i * 3) & 0xff
+      val g = r.data(i * 3 + 1) & 0xff
+      val red = r.data(i * 3 + 2) & 0xff
+      argb(i) = (red << 16) | (g << 8) | b
+      i += 1
+    }
+    img.setRGB(0, 0, r.w, r.h, argb, 0, r.w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,380 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Synthetic
+import graft.pipeline.{CellToTileCode, Exprs, VegPipeline}
+
+/** The operator surface of the engine, one entry per SURVEY.md §2 operator
+  * (plus the large-scale training-data-pipeline operators), each phrased
+  * over the driver testdata tables (with a DuckDB oracle) or over the
+  * deterministic synthetic image tables (rows-only check; correctness
+  * carried by the golden/mosaic-oracle unit tests). */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum rendered as double — bit-identical between Spark
+    * and DuckDB regardless of partition/association order. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- oracle-backed
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      dsum(col("l_extendedprice")).as("total_area"),
+      sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("veg_area"),
+      count(lit(1)).as("n_features"))
+
+  private val o01 =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_area,
+      |       CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS veg_area,
+      |       count(*) AS n_features
+      |FROM lineitem""".stripMargin
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val o02 =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").orderBy("o_orderkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(100)
+
+  private val o03 =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"
+
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private val o04 =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      |ORDER BY o_orderkey""".stripMargin
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("feature_id"),
+        concat(lit("{"), col("o_orderkey"), lit(","), col("o_custkey"), lit("}")).as("packed"))
+      .select(col("feature_id"),
+        explode(split(regexp_replace(col("packed"), "[{}]", ""), ",")).as("uprn"))
+      .orderBy("feature_id", "uprn")
+
+  private val o05 =
+    """SELECT o_orderkey AS feature_id,
+      |       unnest(string_split(regexp_replace('{' || o_orderkey || ',' || o_custkey || '}', '[{}]', '', 'g'), ',')) AS uprn
+      |FROM orders ORDER BY 1, 2""".stripMargin
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        ((col("l_orderkey") % 700) * 1000 + (col("l_partkey") % 1300)).as("sort_key"))
+      .orderBy("sort_key", "l_orderkey", "l_partkey", "l_linenumber")
+
+  private val o06 =
+    """SELECT l_orderkey, l_partkey, l_linenumber,
+      |       (l_orderkey % 700) * 1000 + (l_partkey % 1300) AS sort_key
+      |FROM lineitem ORDER BY 4, 1, 2, 3""".stripMargin
+
+  /** G3 tile codes via the engine's CellToTileCode expression, cross-checked
+    * against a pure-SQL replication of the public grid-letter formula. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 700).cast("int").as("e"),
+        (col("l_partkey") % 1300).cast("int").as("n"))
+      .distinct()
+    li.select(col("e"), col("n"),
+        Exprs.col(CellToTileCode(Exprs.expr(col("e")), Exprs.expr(col("n")))).as("tile_code"))
+      .orderBy("e", "n")
+  }
+
+  private val o07 =
+    """WITH en AS (SELECT DISTINCT CAST(l_orderkey % 700 AS INT) AS e, CAST(l_partkey % 1300 AS INT) AS n FROM lineitem),
+      |g AS (SELECT e, n, e // 100 AS e100, n // 100 AS n100 FROM en),
+      |c AS (SELECT e, n, e100, n100,
+      |        (19 - n100) - (19 - n100) % 5 + (e100 + 10) // 5 AS l1r,
+      |        (19 - n100) * 5 % 25 + e100 % 5 AS l2r
+      |      FROM g)
+      |SELECT e, n,
+      |       CASE WHEN e100 BETWEEN 0 AND 7 AND n100 BETWEEN 0 AND 12 THEN
+      |         chr(65 + l1r + CASE WHEN l1r > 7 THEN 1 ELSE 0 END) ||
+      |         chr(65 + l2r + CASE WHEN l2r > 7 THEN 1 ELSE 0 END) ||
+      |         lpad(CAST(e % 100 AS VARCHAR), 2, '0') || lpad(CAST(n % 100 AS VARCHAR), 2, '0')
+      |       ELSE NULL END AS tile_code
+      |FROM c ORDER BY e, n""".stripMargin
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part1 = li.where(col("l_orderkey") % 2 === 0)
+    val part2 = li.where(col("l_orderkey") % 2 === 1)
+    part1.unionAll(part2).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val o08 =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+      |      UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 2 = 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  private val o09 =
+    """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private val o10 =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY 1, 2""".stripMargin
+
+  // -------- training-data pipeline operators over documents/embeddings
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy("fp")
+
+  private val o11 =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  private val o12 =
+    """SELECT doc_id, length(text) AS text_len,
+      |       len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |FROM documents ORDER BY 1""".stripMargin
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents").select(col("doc_id"),
+        length(txt).as("text_len"),
+        (length(txt) - length(regexp_replace(txt, "[aeiou]", ""))).as("n_vowels"),
+        (length(txt) - length(regexp_replace(txt, "\\s", ""))).as("n_spaces"),
+        ((length(txt) - length(regexp_replace(txt, "[aeiou]", ""))).cast("double") /
+          length(txt).cast("double")).as("vowel_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val o13 =
+    """SELECT doc_id, length(text) AS text_len,
+      |       length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+      |       length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_spaces,
+      |       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE) AS vowel_ratio
+      |FROM documents ORDER BY 1""".stripMargin
+
+  /** n-gram-heuristic language id: stopword-list hit counts, argmax with
+    * fixed precedence. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    def hits(words: Seq[String]): Column =
+      words.map(wd => size(split(low, s"\\b$wd\\b")) - 1).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val fr = hits(Seq("le", "la", "et", "est"))
+    val de = hits(Seq("der", "und", "die", "ist"))
+    t(s, dir, "documents").select(col("doc_id"),
+        en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"),
+        when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de").as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  private val o14 =
+    """SELECT doc_id, en_hits, fr_hits, de_hits,
+      |       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |            WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split_regex(lower(text), '\bthe\b')) - 1 + len(string_split_regex(lower(text), '\band\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bof\b')) - 1 + len(string_split_regex(lower(text), '\bis\b')) - 1 AS en_hits,
+      |    len(string_split_regex(lower(text), '\ble\b')) - 1 + len(string_split_regex(lower(text), '\bla\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bet\b')) - 1 + len(string_split_regex(lower(text), '\best\b')) - 1 AS fr_hits,
+      |    len(string_split_regex(lower(text), '\bder\b')) - 1 + len(string_split_regex(lower(text), '\bund\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bdie\b')) - 1 + len(string_split_regex(lower(text), '\bist\b')) - 1 AS de_hits
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-k ANN baseline: every 100th vector queries the
+    * full table; fp64 throughout so DuckDB's list functions agree bitwise. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def normD(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val q = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val joined = q.crossJoin(broadcast(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotD(col("qe"), col("ne")) / (normD(col("qe")) * normD(col("ne")))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  private val o16 =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+      |           e.vec_id) AS rank
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> e.vec_id)
+      |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+
+  /** Word-set Jaccard near-dup scoring over a deterministic candidate grid. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("a_id"), array_distinct(split(lower(col("text")), " ")).as("a_words"))
+    val b = docs.where(col("doc_id") % 100 === 50)
+      .select(col("doc_id").as("b_id"), array_distinct(split(lower(col("text")), " ")).as("b_words"))
+    a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_words"), col("b_words"))).as("n_common"),
+        size(array_distinct(concat(col("a_words"), col("b_words")))).as("n_union"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val o17 =
+    """SELECT a_id, b_id, n_common, n_union,
+      |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      |FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         len(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
+      |                            list_distinct(string_split(lower(b.text), ' ')))) AS n_common,
+      |         len(list_distinct(list_concat(list_distinct(string_split(lower(a.text), ' ')),
+      |                                       list_distinct(string_split(lower(b.text), ' '))))) AS n_union
+      |  FROM documents a, documents b
+      |  WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 = 50)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- image-side (no SQL oracle)
+
+  private def syntheticScale(dir: String): (Int, Int, Long) =
+    if (dir.contains("sf0.1")) (12, 12, 600L)
+    else if (dir.contains("sf0.01")) (8, 8, 250L)
+    else (4, 4, 40L)
+
+  /** Flagship: polygon⋈tile vegetation fractions (mosaic-oracle-tested). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    val ts = 64
+    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, ts),
+        VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf", "hsv", "vari")))
+      .select("id", "npix", "frac_greenleaf", "frac_hsv", "frac_vari")
+      .orderBy("id")
+  }
+
+  /** Tile-table exact dedup by perceptual hash (image dedup operator). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, _) = syntheticScale(dir)
+    Synthetic.tiles(s, gw, gh, 64)
+      .groupBy("phash").agg(count(lit(1)).as("n"), min("image_id").as("keep_id"))
+      .where(col("n") >= 1)
+      .orderBy("phash")
+  }
+
+  /** Global summary over the flagship output (A2). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    val ts = 64
+    val res = VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
+      Synthetic.tiles(s, gw, gh, ts), VegPipeline.Config(tileSize = ts))
+    VegPipeline.summarize(res, Seq("greenleaf"))
+  }
+
+  /** toid->uprn explode over the flagship output (S8). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    val res = VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
+      Synthetic.tiles(s, gw, gh, 64), VegPipeline.Config(tileSize = 64))
+    VegPipeline.toid2uprn(res).orderBy("feature_id", "uprn")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_summary_agg" -> (q01 _),
+    "q02_groupby_multi" -> (q02 _),
+    "q03_limit_firstn" -> (q03 _),
+    "q04_sample_deterministic" -> (q04 _),
+    "q05_uprn_explode" -> (q05 _),
+    "q06_spatial_sort" -> (q06 _),
+    "q07_tilecode" -> (q07 _),
+    "q08_recombine_union" -> (q08 _),
+    "q09_coverage_minmax" -> (q09 _),
+    "q10_window_topk" -> (q10 _),
+    "q11_dedup_exact" -> (q11 _),
+    "q12_token_count" -> (q12 _),
+    "q13_quality_score" -> (q13 _),
+    "q14_langid" -> (q14 _),
+    "q16_embedding_topk" -> (q16 _),
+    "q17_ngram_jaccard" -> (q17 _),
+    "q30_veg_flagship" -> (q30 _),
+    "q31_phash_dedup" -> (q31 _),
+    "q32_veg_summary" -> (q32 _),
+    "q33_toid2uprn" -> (q33 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_summary_agg" -> o01,
+    "q02_groupby_multi" -> o02,
+    "q03_limit_firstn" -> o03,
+    "q04_sample_deterministic" -> o04,
+    "q05_uprn_explode" -> o05,
+    "q06_spatial_sort" -> o06,
+    "q07_tilecode" -> o07,
+    "q08_recombine_union" -> o08,
+    "q09_coverage_minmax" -> o09,
+    "q10_window_topk" -> o10,
+    "q11_dedup_exact" -> o11,
+    "q12_token_count" -> o12,
+    "q13_quality_score" -> o13,
+    "q14_langid" -> o14,
+    "q16_embedding_topk" -> o16,
+    "q17_ngram_jaccard" -> o17
+  )
+}

@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geom.MPoly
+import graft.geo.{Osgb, TileCode}
+import graft.img.{Codec, Raster, Resize}
+import graft.index.ZIndex
+import graft.kernel.{IndexKernel, Kernels}
+
+/** Catalyst expressions for the polygon-tile pipeline. All are
+  * CodegenFallback — the work is whole-buffer kernels where codegen buys
+  * nothing; they sit between codegen'd scan/join/aggregate stages. */
+object Exprs {
+  def col(e: Expression): Column = GraftBridge.column(e)
+  def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  /** coordinates nested-array -> MPoly. Accepts the GeoJSON MultiPolygon
+    * shape Array[poly][ring][point][xy]. */
+  def coordsToMPoly(coords: ArrayData): MPoly = {
+    val polys = (0 until coords.numElements()).map { pi =>
+      val rings = coords.getArray(pi)
+      val builtRings = (0 until rings.numElements()).map { ri =>
+        val pts = rings.getArray(ri)
+        val n = pts.numElements()
+        val xs = new Array[Double](n)
+        val ys = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val pt = pts.getArray(i)
+          xs(i) = pt.getDouble(0)
+          ys(i) = pt.getDouble(1)
+          i += 1
+        }
+        new graft.geom.Ring(xs, ys)
+      }
+      new graft.geom.Poly(builtRings.head, builtRings.tail.toArray)
+    }
+    new MPoly(polys.toArray)
+  }
+
+  val CRS84 = "urn:ogc:def:crs:OGC:1.3:CRS84"
+  val EPSG27700 = "urn:ogc:def:crs:EPSG::27700"
+}
+
+/** Per-garden preparation: CRS transform to km-tile space, centroid
+  * (original CRS), surface area m2, covering cells, spatial sort key and
+  * the serialized pixel-space polygon blob.
+  * (reference: calculate_indices.py:110-137 + image_loaders.py:201-213,
+  * 257-294 prep portions) */
+case class PrepareGarden(gid: Expression, geometry: Expression, crs: Expression,
+                         tileSize: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(gid, geometry, crs)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("blob", BinaryType, nullable = false),
+    StructField("cells", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("cx", DoubleType, nullable = false),
+    StructField("cy", DoubleType, nullable = false),
+    StructField("area_m2", DoubleType, nullable = false),
+    StructField("sort_key", LongType, nullable = false)
+  ))
+
+  override def eval(input: InternalRow): Any = {
+    val gidV = gid.eval(input).asInstanceOf[Long]
+    val coords = geometry.eval(input).asInstanceOf[ArrayData]
+    val crsV = crs.eval(input).asInstanceOf[UTF8String].toString
+    val raw = Exprs.coordsToMPoly(coords)
+
+    val gKm = crsV match {
+      case Exprs.CRS84 => raw.map((lon, lat) => Osgb.toFractionalKmTile(lon, lat))
+      case Exprs.EPSG27700 => raw.map((e, n) => (e / 1000.0, n / 1000.0))
+      case other => throw new IllegalArgumentException(s"""crs_name="$other" is unsupported""")
+    }
+
+    val (cx, cy) = raw.centroid
+    val area = gKm.area * 1000.0 * 1000.0
+    val (mnx, mny, mxx, mxy) = gKm.bounds
+    val cells = ZIndex.coverBounds(mnx, mny, mxx, mxy)
+    val sortKey = mnx.toInt.toLong * 1000L + mny.toInt.toLong
+
+    val ts = tileSize
+    val cropX0 = math.floor(mnx * ts).toInt
+    val cropY0 = math.floor(mny * ts).toInt
+    val cropX1 = math.floor(mxx * ts).toInt
+    val cropY1 = math.floor(mxy * ts).toInt
+    val gPix = gKm.affine(ts, 0, 0, ts, 0, 0)
+    val blob = PolyBlob.serialize(gidV, cropX0, cropX1, cropY0, cropY1, gPix)
+
+    InternalRow(blob, new GenericArrayData(cells), cx, cy, area, sortKey)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(gid = newChildren(0), geometry = newChildren(1), crs = newChildren(2))
+}
+
+/** Score all polygons of one tile-cell against the decoded tile:
+  * returns array<struct(gid, npix, veg: array<long>)>. Decodes the tile
+  * once per row regardless of how many polygons cover it (the Spark
+  * analogue of the reference's LRU-amortized decode,
+  * image_loaders.py:215-227). Null/absent tile bytes -> the reference's
+  * zero-fill semantics via each kernel's onBlack value. Wrong-sized tiles
+  * are resized to tileSize (image_loaders.py:222-226). */
+case class ScoreFragments(cell: Expression, bytes: Expression,
+                          blobs: Expression,
+                          tileSize: Int, kernelNames: Seq[String])
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(cell, bytes, blobs)
+  override def nullable: Boolean = false
+
+  @transient private lazy val kernels: Array[IndexKernel] =
+    kernelNames.map(Kernels.all(_)).toArray
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gid", LongType, nullable = false),
+    StructField("npix", LongType, nullable = false),
+    StructField("veg", ArrayType(LongType, containsNull = false), nullable = false)
+  )), containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val cellV = cell.eval(input).asInstanceOf[Long]
+    val blobsV = blobs.eval(input).asInstanceOf[ArrayData]
+    if (blobsV == null || blobsV.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    val bytesV = bytes.eval(input).asInstanceOf[Array[Byte]]
+
+    val ts = tileSize
+    var raster: Raster = null
+    if (bytesV != null && bytesV.nonEmpty) {
+      raster = Codec.decodeBGR(bytesV)
+      if (raster.w != ts || raster.h != ts) raster = Resize.bilinear(raster, ts, ts)
+    }
+
+    val e = ZIndex.cellE(cellV)
+    val n = ZIndex.cellN(cellV)
+    val out = new Array[Any](blobsV.numElements())
+    var i = 0
+    while (i < blobsV.numElements()) {
+      val pp = PolyBlob.deserialize(blobsV.getBinary(i))
+      val (npix, veg) = PolyBlob.scoreFragment(pp, e, n, ts, raster, kernels)
+      out(i) = InternalRow(pp.gid, npix, new GenericArrayData(veg))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(cell = newChildren(0), bytes = newChildren(1), blobs = newChildren(2))
+}
+
+/** OSGB tile code string -> packed cell id (null outside the grid,
+  * filtering invalid tiles like the reference's name-shape checks,
+  * generate_coverage.py:344-347). */
+case class TileCodeToCell(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[UTF8String].toString
+    val en = TileCode.toEastingsNorthings(code)
+    if (en == null) null else ZIndex.cellId(en._1, en._2)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (eastings, northings) km ints -> tile code string (G3). */
+case class CellToTileCode(e: Expression, n: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(e, n)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def eval(input: InternalRow): Any = {
+    val eV = e.eval(input); val nV = n.eval(input)
+    if (eV == null || nV == null) return null
+    val code = TileCode.fromEastingsNorthings(
+      eV.asInstanceOf[Number].intValue(), nV.asInstanceOf[Number].intValue())
+    if (code == null) null else UTF8String.fromString(code)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(e = newChildren(0), n = newChildren(1))
+}
+
+/** WGS84 lon/lat -> OSGB eastings/northings metres (G1) as struct. */
+case class ToOsgbEN(lon: Expression, lat: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(lon, lat)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("eastings", DoubleType, nullable = false),
+    StructField("northings", DoubleType, nullable = false)))
+  override def eval(input: InternalRow): Any = {
+    val lo = lon.eval(input).asInstanceOf[Number].doubleValue()
+    val la = lat.eval(input).asInstanceOf[Number].doubleValue()
+    val (e, n) = Osgb.toEastingsNorthings(lo, la)
+    InternalRow(e, n)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(lon = newChildren(0), lat = newChildren(1))
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.kernel.Kernels
+
+/** The flagship distributed query: garden polygons x aerial tile table ->
+  * per-garden vegetation fractions (the Spark-native re-expression of
+  * analyse_polygons.main, reference: green_spaces/analyse_polygons.py:189-237,
+  * calculate_indices.py:105-182, image_loaders.py:187-329).
+  *
+  * Plan shape (designed for a 100 TB tile table):
+  *   1. prepare gardens (tiny side): CRS transform, centroid, area, cover
+  *      cells, pixel-space blob — one narrow projection.
+  *   2. group polygon blobs by cell -> cell→polys "interval index".
+  *   3. join tiles ⋈ broadcast(cellPolys) on cell — the tile table streams,
+  *      image bytes NEVER shuffle; each matched tile is decoded exactly
+  *      once and scored against all covering polygons (ScoreFragments).
+  *   4. explode fragment scores -> partial-aggregated (map-side combine)
+  *      groupBy gid: only (gid, npix, veg[]) rows cross the wire.
+  *   5. broadcast-join garden metadata back, derive fractions.
+  *
+  * Skew: dense cells cost per-tile work proportional to covering polygons;
+  * no shuffle key carries image bytes, so AQE's skew-join handling plus the
+  * small fragment rows keep hot cells bounded. When the polygon side
+  * exceeds broadcast size, set broadcastPolys=false: the same plan runs as
+  * a shuffled join co-partitioned on cell (tiles shuffle once; pre-bucket
+  * the tile table by cell to eliminate even that at scale).
+  */
+object VegPipeline {
+
+  final case class Config(
+      tileSize: Int = 256,
+      kernelNames: Seq[String] = Seq("greenleaf"),
+      broadcastPolys: Boolean = true,
+      handleMissingTiles: Boolean = true)
+
+  import Exprs.{col => ec, expr => ee}
+
+  /** Normalized gardens (id, uprn, geometry, crs) -> prepared metadata. */
+  def prepareGardens(gardens: DataFrame, tileSize: Int): DataFrame = {
+    val withGid = gardens.withColumn("gid", monotonically_increasing_id())
+    withGid
+      .withColumn("prep", ec(PrepareGarden(
+        ee(col("gid")), ee(col("geometry")), ee(col("crs")), tileSize)))
+      .select(col("gid"), col("id"), col("uprn"),
+        col("prep.blob").as("blob"), col("prep.cells").as("cells"),
+        col("prep.cx").as("cx"), col("prep.cy").as("cy"),
+        col("prep.area_m2").as("area_m2"), col("prep.sort_key").as("sort_key"))
+  }
+
+  def tileCell(imageId: Column): Column = ec(TileCodeToCell(ee(imageId)))
+
+  /** Per-garden result: gid, id, uprn, cx, cy, area_m2, sort_key, npix,
+    * frac_<kernel>... */
+  def run(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
+          cfg: Config = Config()): DataFrame = {
+    val nK = cfg.kernelNames.length
+    require(nK > 0, "at least one index kernel required")
+    // format-compat check (reference: analyse_polygons.py:208-213)
+    val fmts = cfg.kernelNames.map(Kernels.all(_).inputFormat).distinct
+    require(fmts.size == 1,
+      s"all kernels in one pass must share an input format, got $fmts")
+
+    val prepared = prepareGardens(gardens, cfg.tileSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val cellPolys = prepared
+      .select(explode(col("cells")).as("cell"), col("blob"))
+      .groupBy("cell").agg(collect_list("blob").as("blobs"))
+
+    val polysSide = if (cfg.broadcastPolys) broadcast(cellPolys) else cellPolys
+
+    val tilesWithCell = tiles
+      .select(tileCell(col("image_id")).as("cell"), col("bytes"))
+      .where(col("cell").isNotNull)
+
+    val scoreCol = ec(ScoreFragments(
+      ee(col("cell")), ee(col("bytes")), ee(col("blobs")),
+      cfg.tileSize, cfg.kernelNames))
+
+    val scored = tilesWithCell
+      .join(polysSide, Seq("cell"))
+      .select(col("cell"), explode(scoreCol).as("s"))
+      .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+
+    val frags =
+      if (cfg.handleMissingTiles) {
+        val sc = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        val present = sc.select("cell").distinct()
+        val missing = cellPolys.join(present, Seq("cell"), "left_anti")
+        val missingScore = ec(ScoreFragments(
+          ee(col("cell")), ee(lit(null).cast("binary")), ee(col("blobs")),
+          cfg.tileSize, cfg.kernelNames))
+        val missingScored = missing
+          .select(col("cell"), explode(missingScore).as("s"))
+          .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+        sc.union(missingScored)
+      } else scored
+
+    val vegSums = (0 until nK).map(i => sum(col("veg")(i)).as(s"veg_$i"))
+    val agg = frags.groupBy("gid")
+      .agg(sum(col("npix")).as("npix"), vegSums: _*)
+
+    val meta = prepared.select("gid", "id", "uprn", "cx", "cy", "area_m2", "sort_key")
+    val joined = meta.join(agg, Seq("gid"), "left_outer")
+
+    val fracCols = cfg.kernelNames.zipWithIndex.map { case (name, i) =>
+      when(col("npix").isNull || col("npix") === 0L, lit(0.0))
+        .otherwise(col(s"veg_$i").cast("double") / col("npix").cast("double"))
+        .as(s"frac_$name")
+    }
+    joined.select(
+      Seq(col("gid"), col("id"), col("uprn"), col("cx"), col("cy"),
+        col("area_m2"), col("sort_key"),
+        coalesce(col("npix"), lit(0L)).as("npix")) ++ fracCols: _*)
+  }
+
+  /** Global summary (A2): total area, per-index vegetation area + pct
+    * (reference: analyse_polygons.py:135-155). */
+  def summarize(perGarden: DataFrame, kernelNames: Seq[String]): DataFrame = {
+    val aggs = kernelNames.flatMap { name =>
+      Seq(sum(col("area_m2") * col(s"frac_$name")).as(s"veg_area_$name"))
+    }
+    val base = perGarden.agg(sum(col("area_m2")).as("total_area_m2"), aggs: _*)
+    val pctCols = kernelNames.map { name =>
+      (col(s"veg_area_$name") / col("total_area_m2") * 100.0).as(s"veg_pct_$name")
+    }
+    base.select(Seq(col("total_area_m2")) ++
+      kernelNames.map(n => col(s"veg_area_$n")) ++ pctCols: _*)
+  }
+
+  /** toid->uprn explode (S8; reference: analyse_polygons.py:175-186). */
+  def toid2uprn(perGarden: DataFrame): DataFrame =
+    perGarden.select(col("id"), explode(col("uprn")).as("uprn"))
+      .withColumnRenamed("id", "feature_id")
+}

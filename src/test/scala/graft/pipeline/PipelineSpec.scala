@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.Synthetic
+import graft.img.Codec
+import graft.kernel.Kernels
+
+/** End-to-end equivalence: the distributed mosaic-free pipeline must
+  * reproduce the reference's mosaic algorithm (MosaicOracle) exactly —
+  * same npix, same fractions, same areas — including tile-boundary
+  * straddlers, holed polygons, degenerate slivers and missing tiles. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val ts = 64
+  private val gridW = 6
+  private val gridH = 6
+
+  private def oracleResults(gardens: Seq[Synthetic.GardenRow],
+                            kernelNames: Seq[String],
+                            missing: Set[(Int, Int)] = Set.empty): Map[String, MosaicOracle.Result] = {
+    val kernels = kernelNames.map(Kernels.all(_)).toArray
+    val tileCache = scala.collection.mutable.Map.empty[(Int, Int), Option[graft.img.Raster]]
+    def tileFor(e: Int, n: Int): Option[graft.img.Raster] =
+      tileCache.getOrElseUpdate((e, n),
+        if (missing((e, n)) ||
+            e < Synthetic.BaseE || e >= Synthetic.BaseE + gridW ||
+            n < Synthetic.BaseN || n >= Synthetic.BaseN + gridH) None
+        else Some(Synthetic.tileRaster(e, n, ts, 42L)))
+    gardens.map(g => g.id -> MosaicOracle.compute(g, ts, tileFor, kernels)).toMap
+  }
+
+  test("pipeline matches the mosaic oracle exactly (greenleaf, 60 gardens)") {
+    val gardenRows = (0L until 60L).map(Synthetic.makeGarden(_, gridW, gridH, 42L))
+    val oracle = oracleResults(gardenRows, Seq("greenleaf"))
+
+    val gardens = Synthetic.gardens(spark, 60, gridW, gridH)
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    val res = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf")))
+      .collect()
+
+    assert(res.length == 60)
+    res.foreach { row =>
+      val id = row.getAs[String]("id")
+      val o = oracle(id)
+      assert(row.getAs[Long]("npix") == o.npix, s"npix for $id")
+      assert(row.getAs[Double]("frac_greenleaf") == o.fracs(0), s"fraction for $id")
+      assert(math.abs(row.getAs[Double]("area_m2") - o.areaM2) < 1e-9, s"area for $id")
+      assert(math.abs(row.getAs[Double]("cx") - o.cx) < 1e-9, s"cx for $id")
+      assert(math.abs(row.getAs[Double]("cy") - o.cy) < 1e-9, s"cy for $id")
+    }
+    // sanity: the synthetic pattern is ~1/3 vegetation; typical gardens must
+    // land strictly between 0 and 1 (not all-0/all-1)
+    val fracs = res.filter(_.getAs[Long]("npix") > 100).map(_.getAs[Double]("frac_greenleaf"))
+    assert(fracs.nonEmpty && fracs.exists(f => f > 0.1 && f < 0.9))
+  }
+
+  test("multi-index shared pass matches oracle (greenleaf+vari+hsv)") {
+    val names = Seq("greenleaf", "vari", "hsv")
+    val gardenRows = (0L until 25L).map(Synthetic.makeGarden(_, gridW, gridH, 42L))
+    val oracle = oracleResults(gardenRows, names)
+
+    val res = VegPipeline.run(spark,
+      Synthetic.gardens(spark, 25, gridW, gridH),
+      Synthetic.tiles(spark, gridW, gridH, ts),
+      VegPipeline.Config(tileSize = ts, kernelNames = names)).collect()
+
+    res.foreach { row =>
+      val o = oracle(row.getAs[String]("id"))
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(row.getAs[Double](s"frac_$nm") == o.fracs(i), s"$nm for ${row.getAs[String]("id")}")
+      }
+    }
+  }
+
+  test("missing tiles follow the reference's zero-fill semantics") {
+    // drop a block of tiles; gardens over them still count pixels but score
+    // onBlack (0 for greenleaf, 1 for naive)
+    val missing = (for (e <- Synthetic.BaseE + 1 to Synthetic.BaseE + 2;
+                        n <- Synthetic.BaseN + 1 to Synthetic.BaseN + 2) yield (e, n)).toSet
+    val names = Seq("greenleaf", "naive")
+    val gardenRows = (0L until 40L).map(Synthetic.makeGarden(_, gridW, gridH, 42L))
+    val oracle = oracleResults(gardenRows, names, missing)
+
+    import spark.implicits._
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+      .where(!Exprs.col(TileCodeToCell(Exprs.expr($"image_id"))).isin(
+        missing.toSeq.map { case (e, n) => graft.index.ZIndex.cellId(e, n) }: _*))
+
+    val res = VegPipeline.run(spark,
+      Synthetic.gardens(spark, 40, gridW, gridH), tiles,
+      VegPipeline.Config(tileSize = ts, kernelNames = names)).collect()
+
+    res.foreach { row =>
+      val o = oracle(row.getAs[String]("id"))
+      assert(row.getAs[Long]("npix") == o.npix, s"npix for ${row.getAs[String]("id")}")
+      assert(row.getAs[Double]("frac_greenleaf") == o.fracs(0))
+      assert(row.getAs[Double]("frac_naive") == o.fracs(1))
+      // naive counts every masked pixel -> always 1.0 when npix>0
+      if (row.getAs[Long]("npix") > 0) assert(row.getAs[Double]("frac_naive") == 1.0)
+    }
+  }
+
+  test("shuffle-join path (broadcastPolys=false) produces identical results") {
+    val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    val a = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, broadcastPolys = true))
+      .select("id", "npix", "frac_greenleaf").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, broadcastPolys = false))
+      .select("id", "npix", "frac_greenleaf").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("summary and toid2uprn shapes") {
+    val res = VegPipeline.run(spark,
+      Synthetic.gardens(spark, 15, gridW, gridH),
+      Synthetic.tiles(spark, gridW, gridH, ts),
+      VegPipeline.Config(tileSize = ts))
+    val s = VegPipeline.summarize(res, Seq("greenleaf")).collect()(0)
+    assert(s.getAs[Double]("total_area_m2") > 0)
+    val pct = s.getAs[Double]("veg_pct_greenleaf")
+    assert(pct >= 0 && pct <= 100)
+    val t2u = VegPipeline.toid2uprn(res)
+    assert(t2u.columns.toSeq == Seq("feature_id", "uprn"))
+    assert(t2u.count() >= 15)
+  }
+
+  test("synthetic tile table is deterministic and input_hint-shaped") {
+    val t1 = Synthetic.tiles(spark, 2, 2, ts).collect().sortBy(_.getAs[String]("image_id"))
+    val t2 = Synthetic.tiles(spark, 2, 2, ts).collect().sortBy(_.getAs[String]("image_id"))
+    assert(t1.map(_.getAs[String]("image_id")).sameElements(t2.map(_.getAs[String]("image_id"))))
+    t1.zip(t2).foreach { case (a, b) =>
+      assert(a.getAs[Array[Byte]]("bytes").sameElements(b.getAs[Array[Byte]]("bytes")))
+      assert(a.getAs[Long]("phash") == b.getAs[Long]("phash"))
+      assert(a.getAs[String]("caption") == b.getAs[String]("caption"))
+    }
+    assert(t1.head.schema.fieldNames.toSeq ==
+      Seq("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    // decoded PNG round-trips to the deterministic raster (PSNR = inf)
+    val r = Codec.decodeBGR(t1.head.getAs[Array[Byte]]("bytes"))
+    val direct = Synthetic.tileRaster(
+      graft.geo.TileCode.toEastingsNorthings(t1.head.getAs[String]("image_id"))._1,
+      graft.geo.TileCode.toEastingsNorthings(t1.head.getAs[String]("image_id"))._2, ts, 42L)
+    assert(r.data.sameElements(direct.data))
+  }
+}

@@ -1,24 +1,165 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.data.Synthetic
+import graft.pipeline.VegPipeline
+
+/** Benchmark main. Prints exactly ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "scaling":{...}}
+  *
+  * Two parts:
+  *  1. headline queries at local[cpus] on SPARK_GRAFT_SF_DIR,
+  *  2. the north-rule scaling experiment: the flagship polygon⋈tile
+  *     vegetation job on the SAME parquet tile table at local[8] vs
+  *     local[32] (the N vs 4N cluster-size proxy), reporting tiles/sec at
+  *     both and the scaling efficiency. Also appended to BENCH/BASELINE.md.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // image-bytes tables: small columnar batches (4096-row default means
+      // ~450MB of column vector per task) and smaller splits for parallelism
+      .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic bench tile/garden tables, generated once to parquet so
+    * benchmark runs measure the engine (parquet scan + join + kernels),
+    * not the generator. */
+  private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Long) = {
+    val (grid, ts, nGardens) =
+      if (sfDir.contains("sf0.1")) (192, 256, 80000L)
+      else if (sfDir.contains("sf0.01")) (32, 256, 8000L)
+      else (12, 128, 1000L)
+    val root = "data/gen"
+    val tilesPath = s"$root/tiles_g${grid}_ts$ts"
+    val gardensPath = s"$root/gardens_n${nGardens}_g$grid"
+    if (!Files.exists(Paths.get(tilesPath))) {
+      Synthetic.tiles(spark, grid, grid, ts)
+        .repartition(32)
+        .write.mode("overwrite").parquet(tilesPath)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (!Files.exists(Paths.get(gardensPath))) {
+      Synthetic.gardens(spark, nGardens, grid, grid)
+        .repartition(8)
+        .write.mode("overwrite").parquet(gardensPath)
+    }
+    (tilesPath, gardensPath, grid, ts, nGardens)
+  }
+
+  private def cfgOf(ts: Int) = VegPipeline.Config(
+    tileSize = ts, kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
+
+  /** Build the cell→polygon index once per session (a one-time artifact
+    * in production, amortized over the full tile-table scan). */
+  private def buildIndex(spark: SparkSession, gardensPath: String, ts: Int): VegPipeline.PolyIndex = {
+    val idx = VegPipeline.buildIndex(spark, spark.read.parquet(gardensPath), ts)
+    idx.cellPolys.count() // materialize both persisted sides
+    idx
+  }
+
+  private def runFlagship(spark: SparkSession, idx: VegPipeline.PolyIndex,
+                          tilesPath: String, ts: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val res = VegPipeline.scoreAgainst(spark, idx, spark.read.parquet(tilesPath), cfgOf(ts))
+    // consume npix + fractions so Catalyst cannot prune the scoring join
+    val row = res.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
+    require(row.getAs[Long](1) > 0, "flagship produced no scored pixels")
+    row.getAs[Long](0)
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---------- part 1: headline queries at local[cpus]
+    var spark = newSession(cpus)
+    val (tilesPath, gardensPath, grid, ts, nGardens) = benchData(spark, sfDir)
+    // warmup (JIT + codegen caches)
+    SparkEntry.queries("q01_summary_agg")(spark, sfDir).count()
+
+    val headline = Seq(
+      "q01_summary_agg", "q02_groupby_multi", "q06_spatial_sort",
+      "q11_dedup_exact", "q14_langid", "q16_embedding_topk", "q17_ngram_jaccard")
+    val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      // min of 2 reps — the sandbox VM has multi-second noise spikes
+      val reps = (1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count())._1)
+      queryTimes(name) = reps.min
+    }
+    // flagship on parquet tables at local[cpus]
+    val idx0 = buildIndex(spark, gardensPath, ts)
+    runFlagship(spark, idx0, tilesPath, ts) // warm (JIT + scan caches)
+    val flagReps = (1 to 2).map(_ => time(runFlagship(spark, idx0, tilesPath, ts)))
+    val tFlag = flagReps.map(_._1).min
+    val nRows = flagReps.head._2
+    queryTimes("q30_veg_flagship") = tFlag
     spark.stop()
+
+    // ---------- part 2: scaling experiment local[8] vs local[32]
+    // min-of-3 after warmup per level: the sandbox shows random multi-second
+    // kernel-time stalls, so the minimum is the honest machine capability
+    val nTiles = grid.toLong * grid
+    def measure(cpus: Int): (Double, Seq[Double]) = {
+      val s = newSession(cpus)
+      val idx = buildIndex(s, gardensPath, ts)
+      runFlagship(s, idx, tilesPath, ts) // warm
+      val reps = (1 to 5).map(_ => time(runFlagship(s, idx, tilesPath, ts))._1)
+      s.stop()
+      (reps.min, reps)
+    }
+    val (t8, reps8) = measure(8)
+    val (t32, reps32) = measure(32)
+
+    val tput8 = nTiles / t8
+    val tput32 = nTiles / t32
+    val efficiency = tput32 / (4.0 * tput8)
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = queryTimes.values.sum
+    val scaling =
+      f"""{"tiles":$nTiles,"gardens":$nGardens,"tile_px":$ts,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
+        f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,"efficiency":$efficiency%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}""")
+
+    // append the scaling evidence to BENCH/BASELINE.md
+    val benchDir = Paths.get("BENCH")
+    Files.createDirectories(benchDir)
+    val md = new StringBuilder
+    val f = benchDir.resolve("BASELINE.md")
+    if (!Files.exists(f)) {
+      md.append("# BENCH — engine throughput + cluster-size scaling evidence\n\n")
+      md.append("Flagship job: polygon-tile spatial join + 2-index vegetation\n")
+      md.append("classification over the deterministic synthetic parquet tile table\n")
+      md.append("(input_hint schema). N vs 4N executors proxied by local[8] vs\n")
+      md.append("local[32] on identical input (north-rule criterion, target ≥0.8).\n\n")
+      md.append("| sf | tiles | px | gardens | rows | t@8 (s) | t@32 (s) | tiles/s @8 | tiles/s @32 | efficiency |\n")
+      md.append("|---|---|---|---|---|---|---|---|---|---|\n")
+    }
+    md.append(f"| $sfDir | $nTiles | $ts | $nGardens | $nRows | $t8%.2f | $t32%.2f | $tput8%.1f | $tput32%.1f | $efficiency%.3f |\n")
+    Files.writeString(f, md.toString,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Synthetic
-import graft.pipeline.{CellToTileCode, Exprs, VegPipeline}
+import graft.functions.{Fingerprint, Hamming64, MinHashSig, SimHash64}
+import graft.pipeline.{CellToTileCode, Exprs, KnnJoin, VegPipeline}
 
 /** The operator surface of the engine, one entry per SURVEY.md §2 operator
   * (plus the large-scale training-data-pipeline operators), each phrased
@@ -293,6 +294,153 @@ object Queries {
       |  WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 = 50)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Streaming windowed aggregation, oracle'd against DuckDB time_bucket. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.hourlyEventCounts(s, s"$dir/events.parquet")
+
+  private val o18 =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Flight-date float math (S6/A8) oracle'd via ISO-calendar SQL. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("ts"))
+    val isoDow = ((dayofweek(d) + 5) % 7) + 1
+    val dateFloat = expr("extract(YEAROFWEEK FROM to_date(ts))").cast("double") +
+      (weekofyear(d) * 7 + isoDow).cast("double") / 366.0
+    t(s, dir, "events")
+      .select(col("event_type"), dateFloat.as("date_float"))
+      .groupBy("event_type")
+      .agg(min("date_float").as("min_date_float"), max("date_float").as("max_date_float"))
+      .orderBy("event_type")
+  }
+
+  private val o19 =
+    """SELECT event_type,
+      |       min(isoyear(ts) + (weekofyear(ts) * 7 + isodow(ts)) / 366.0) AS min_date_float,
+      |       max(isoyear(ts) + (weekofyear(ts) * 7 + isodow(ts)) / 366.0) AS max_date_float
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact kNN via the cell-ring expansion operator (J4), oracle'd against
+    * brute force in DuckDB. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
+      ((col("l_orderkey") % 50) + (col("l_suppkey") % 89).cast("double") / 89.0).as("px"),
+      ((col("l_partkey") % 50) + (col("l_orderkey") % 97).cast("double") / 97.0).as("py"))
+    val queries = pts.where(col("pid") % 599 === 0)
+      .select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"))
+    KnnJoin.run(s, queries, pts, k = 5)
+      .select("qid", "rank", "pid")
+      .orderBy("qid", "rank")
+  }
+
+  private val o20 =
+    """WITH pts AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS pid,
+      |         (l_orderkey % 50) + CAST(l_suppkey % 89 AS DOUBLE) / 89.0 AS px,
+      |         (l_partkey % 50) + CAST(l_orderkey % 97 AS DOUBLE) / 97.0 AS py
+      |  FROM lineitem)
+      |SELECT qid, rank, pid FROM (
+      |  SELECT q.pid AS qid, p.pid AS pid,
+      |         row_number() OVER (PARTITION BY q.pid
+      |           ORDER BY (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py), p.pid) AS rank
+      |  FROM pts q, pts p
+      |  WHERE q.pid % 599 = 0 AND q.pid <> p.pid)
+      |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** Broadcast dimension join (supplier⋈nation⋈region). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("acctbal"))
+      .orderBy("r_name", "n_name")
+
+  private val o21 =
+    """SELECT r_name, n_name, count(*) AS n,
+      |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Semi/anti joins. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val bigLines = t(s, dir, "lineitem").where(col("l_quantity") > 45).select("l_orderkey")
+    val o = t(s, dir, "orders")
+    val withBig = o.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), lit("has_big").as("cls"))
+    val withoutBig = o.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), lit("no_big").as("cls"))
+    withBig.unionAll(withoutBig).groupBy("cls").agg(count(lit(1)).as("n")).orderBy("cls")
+  }
+
+  private val o22 =
+    """SELECT cls, count(*) AS n FROM (
+      |  SELECT o_orderkey, 'has_big' AS cls FROM orders
+      |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |  UNION ALL
+      |  SELECT o_orderkey, 'no_big' AS cls FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------- custom-expression text ops (rows-only)
+
+  /** Winnowed rolling-hash document fingerprints (K-gram Rabin-Karp). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        Exprs.col(Fingerprint(Exprs.expr(col("text")))).as("fingerprints"))
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+        hash(col("fingerprints")).as("fp_hash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup candidate groups (Hamming-bucketed). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      Exprs.col(SimHash64(Exprs.expr(split(lower(col("text")), "\\s+")))).as("simhash"))
+    // band on the top 16 bits to form candidate buckets, then exact hamming
+    val banded = sh.withColumn("band", shiftrightunsigned(col("simhash"), 48))
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"), col("band"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"), col("band"))
+    a.join(b, Seq("band")).where(col("a_id") < col("b_id"))
+      .withColumn("hamming", Exprs.col(Hamming64(Exprs.expr(col("a_sh")), Exprs.expr(col("b_sh")))))
+      .where(col("hamming") <= 16)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash-LSH near-dup candidates: signature -> bands -> bucket join. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    val bandSize = 4
+    val sigs = t(s, dir, "documents").select(col("doc_id"),
+      Exprs.col(MinHashSig(Exprs.expr(array_distinct(split(lower(col("text")), "\\s+"))), numHashes)).as("sig"))
+    val bands = sigs.select(col("doc_id"), posexplode(
+      array((0 until numHashes / bandSize).map(b =>
+        hash((b * bandSize until (b + 1) * bandSize).map(i => col("sig")(i)): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Image near-dup candidates: perceptual-hash hamming over the tile table. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, _) = syntheticScale(dir)
+    val tiles = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
+    val a = tiles.select(col("image_id").as("a_id"), col("phash").as("a_ph"))
+    val b = tiles.select(col("image_id").as("b_id"), col("phash").as("b_ph"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("hamming", Exprs.col(Hamming64(Exprs.expr(col("a_ph")), Exprs.expr(col("b_ph")))))
+      .where(col("hamming") <= 24)
+      .orderBy("a_id", "b_id")
+  }
+
   // ---------------------------------------------------------------- image-side (no SQL oracle)
 
   private def syntheticScale(dir: String): (Int, Int, Long) =
@@ -353,6 +501,15 @@ object Queries {
     "q14_langid" -> (q14 _),
     "q16_embedding_topk" -> (q16 _),
     "q17_ngram_jaccard" -> (q17 _),
+    "q18_stream_window" -> (q18 _),
+    "q19_flights_datefloat" -> (q19 _),
+    "q20_knn_points" -> (q20 _),
+    "q21_dim_join" -> (q21 _),
+    "q22_semi_anti" -> (q22 _),
+    "q23_fingerprint" -> (q23 _),
+    "q24_simhash_dedup" -> (q24 _),
+    "q25_minhash_lsh" -> (q25 _),
+    "q26_phash_neardup" -> (q26 _),
     "q30_veg_flagship" -> (q30 _),
     "q31_phash_dedup" -> (q31 _),
     "q32_veg_summary" -> (q32 _),
@@ -375,6 +532,11 @@ object Queries {
     "q13_quality_score" -> o13,
     "q14_langid" -> o14,
     "q16_embedding_topk" -> o16,
-    "q17_ngram_jaccard" -> o17
+    "q17_ngram_jaccard" -> o17,
+    "q18_stream_window" -> o18,
+    "q19_flights_datefloat" -> o19,
+    "q20_knn_points" -> o20,
+    "q21_dim_join" -> o21,
+    "q22_semi_anti" -> o22
   )
 }

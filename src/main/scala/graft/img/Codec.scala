@@ -14,11 +14,22 @@ final case class Raster(data: Array[Byte], w: Int, h: Int, channels: Int) {
 
 object Codec {
 
-  /** Decode png/jpg bytes to BGR interleaved (3 channels, alpha dropped). */
+  // ImageIO defaults to disk-backed stream caches (temp file per decode!)
+  // which serializes concurrent executor threads on the filesystem —
+  // in-memory caching is mandatory for a 32-thread local run.
+  ImageIO.setUseCache(false)
+
+  /** Decode png/jpg bytes to BGR interleaved (3 channels, alpha dropped).
+    * Fast path: ImageIO's PNG/JPEG readers usually hand back
+    * TYPE_3BYTE_BGR whose backing buffer already IS our layout. */
   def decodeBGR(bytes: Array[Byte]): Raster = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable image payload")
     val w = img.getWidth; val h = img.getHeight
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR) {
+      val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      if (buf.length == w * h * 3) return Raster(buf, w, h, 3)
+    }
     val out = new Array[Byte](w * h * 3)
     val argb = img.getRGB(0, 0, w, h, null, 0, w)
     var i = 0

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import graft.index.ZIndex
+
+/** Cell id of a 2D point (unit = one cell). */
+case class PointCell(x: Expression, y: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(x, y)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def eval(input: InternalRow): Any = {
+    val xv = x.eval(input).asInstanceOf[Number].doubleValue()
+    val yv = y.eval(input).asInstanceOf[Number].doubleValue()
+    ZIndex.cellId(math.floor(xv).toInt, math.floor(yv).toInt)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(x = c(0), y = c(1))
+}
+
+/** k-ring of cells around a cell id (Chebyshev ring on the square grid —
+  * the H3 kRing analogue, J4 / north-rule kNN support). */
+case class KRingCells(cell: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ZIndex.kRing(v.asInstanceOf[Long], k))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(cell = c)
+  override def child: Expression = cell
+}
+
+/** Exact k-nearest-neighbour join over 2D points via cell-ring expansion
+  * + distance refine (J4: the reference has no kNN; this is the
+  * north-rule addition).
+  *
+  * Algorithm (scales to a distributed points table):
+  *  1. candidates = queries ⋈ points on kRing(queryCell, r) cells,
+  *  2. rank by exact distance (window, deterministic tiebreak on id),
+  *  3. PROOF CHECK: a result set is exact iff the k-th distance <= r
+  *     (any point outside ring r is farther than r cell-units) and at
+  *     least k candidates were found,
+  *  4. unsatisfied queries re-run with doubled r (only the stragglers).
+  *
+  * Coordinates are in cell units (1 cell = 1 unit). Columns:
+  * queries(qid, qx, qy), points(pid, px, py) -> (qid, rank, pid, dist2).
+  */
+object KnnJoin {
+  import Exprs.{col => ec, expr => ee}
+
+  def run(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
+          initialRing: Int = 1, maxRounds: Int = 4): DataFrame = {
+    val pts = points.withColumn("pcell", ec(PointCell(ee(col("px")), ee(col("py")))))
+
+    var remaining = queries
+    var results: DataFrame = null
+    var r = initialRing
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      val cand = remaining
+        .withColumn("qcell", ec(PointCell(ee(col("qx")), ee(col("qy")))))
+        .withColumn("cell", explode(ec(KRingCells(ee(col("qcell")), r))))
+        .join(pts, col("cell") === col("pcell"))
+        .where(col("qid") =!= col("pid"))
+        .withColumn("dist2",
+          (col("px") - col("qx")) * (col("px") - col("qx")) +
+            (col("py") - col("qy")) * (col("py") - col("qy")))
+      // no dedup needed: ring cells are distinct and each point lives in
+      // exactly one cell, so every (query, point) pair matches at most once
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist2"), col("pid"))
+      val ranked = cand
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "rank", "pid", "dist2")
+
+      // exactness: k candidates found and k-th distance within the ring guarantee
+      val status = ranked.groupBy("qid")
+        .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("maxd"))
+        .withColumn("exact", // strict <: a point just outside ring r can sit at distance exactly r
+          col("found") === k && (col("maxd") < lit(r.toDouble) || lit(round == maxRounds - 1)))
+      val good = ranked.join(status.where(col("exact")).select("qid"), Seq("qid"))
+      results = if (results == null) good else results.unionAll(good)
+      remaining = remaining.join(status.where(col("exact")).select("qid"), Seq("qid"), "left_anti")
+      r *= 2
+      round += 1
+    }
+    // stragglers (sparse regions): exact brute force on the small remainder
+    if (!remaining.isEmpty) {
+      val cand = remaining.crossJoin(pts)
+        .where(col("qid") =!= col("pid"))
+        .withColumn("dist2",
+          (col("px") - col("qx")) * (col("px") - col("qx")) +
+            (col("py") - col("qy")) * (col("py") - col("qy")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist2"), col("pid"))
+      val ranked = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k).select("qid", "rank", "pid", "dist2")
+      results = if (results == null) ranked else results.unionAll(ranked)
+    }
+    results
+  }
+}

@@ -53,24 +53,39 @@ object VegPipeline {
 
   def tileCell(imageId: Column): Column = ec(TileCodeToCell(ee(imageId)))
 
+  /** The reusable cell→polygon "interval index" artifact: prepared garden
+    * metadata (persisted) + per-cell packed polygon blobs. Build once,
+    * score any number of tile batches/streams against it. */
+  final case class PolyIndex(prepared: DataFrame, cellPolys: DataFrame, tileSize: Int)
+
+  def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int): PolyIndex = {
+    val prepared = prepareGardens(gardens, tileSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cellPolys = prepared
+      .select(explode(col("cells")).as("cell"), col("blob"))
+      .groupBy("cell").agg(collect_list("blob").as("blobs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    PolyIndex(prepared, cellPolys, tileSize)
+  }
+
   /** Per-garden result: gid, id, uprn, cx, cy, area_m2, sort_key, npix,
     * frac_<kernel>... */
   def run(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
-          cfg: Config = Config()): DataFrame = {
+          cfg: Config = Config()): DataFrame =
+    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize), tiles, cfg)
+
+  def scoreAgainst(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
+                   cfg: Config): DataFrame = {
     val nK = cfg.kernelNames.length
     require(nK > 0, "at least one index kernel required")
+    require(index.tileSize == cfg.tileSize, "index/config tile size mismatch")
     // format-compat check (reference: analyse_polygons.py:208-213)
     val fmts = cfg.kernelNames.map(Kernels.all(_).inputFormat).distinct
     require(fmts.size == 1,
       s"all kernels in one pass must share an input format, got $fmts")
 
-    val prepared = prepareGardens(gardens, cfg.tileSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val cellPolys = prepared
-      .select(explode(col("cells")).as("cell"), col("blob"))
-      .groupBy("cell").agg(collect_list("blob").as("blobs"))
-
+    val prepared = index.prepared
+    val cellPolys = index.cellPolys
     val polysSide = if (cfg.broadcastPolys) broadcast(cellPolys) else cellPolys
 
     val tilesWithCell = tiles

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.coverage.Coverage
+import graft.data.Synthetic
+import graft.functions.TextHash
+import graft.pipeline.{GeoJson, KnnJoin, PyFormat, Reports, VegPipeline}
+import graft.streaming.Streams
+
+/** Specs for the second operator wave: text hashing, kNN, coverage,
+  * GeoJSON ingest, report formatting, and streaming. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("operators-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ------------------------------------------------ PyFormat
+
+  test("PyFormat.repr matches CPython float repr rules") {
+    assert(PyFormat.repr(170.3162) == "170.3162")
+    assert(PyFormat.repr(12345678.9) == "12345678.9")       // java would say 1.23456789E7
+    assert(PyFormat.repr(1.0) == "1.0")
+    assert(PyFormat.repr(0.5) == "0.5")
+    assert(PyFormat.repr(0.0001) == "0.0001")
+    assert(PyFormat.repr(0.00001) == "1e-05")
+    assert(PyFormat.repr(1e16) == "1e+16")
+    assert(PyFormat.repr(1e15) == "1000000000000000.0")
+    assert(PyFormat.repr(-2.5) == "-2.5")
+    assert(PyFormat.repr(0.0) == "0.0")
+    assert(PyFormat.repr(1.0 / 3.0) == "0.3333333333333333")
+    assert(PyFormat.repr(0.1 + 0.2) == "0.30000000000000004")
+  }
+
+  test("PyFormat fixed formats match CPython format specs (test_bulk_recombine fixtures)") {
+    // '{:,.2f}' examples
+    assert(PyFormat.commaFixed2(1234567.891) == "1,234,567.89")
+    assert(PyFormat.commaFixed2(0.125) == "0.12")  // banker's rounding
+    assert(PyFormat.commaFixed2(0.135) == "0.14")  // 0.135 is actually 0.13500000000000001
+    assert(PyFormat.commaFixed2(100.0) == "100.00")
+    assert(PyFormat.fixed1(12.25) == "12.2")       // half-even
+    assert(PyFormat.fixed1(12.35) == "12.3")       // 12.35 -> 12.349999... in binary
+  }
+
+  // ------------------------------------------------ text hashing
+
+  test("rolling hashes: sliding property and determinism") {
+    val h1 = TextHash.rollingHashes("abcdefgh", 3)
+    assert(h1.length == 6)
+    // same k-gram at different positions hashes identically
+    val h2 = TextHash.rollingHashes("xxabcyy abc", 3)
+    assert(h2.contains(h1(0))) // "abc"
+    // direct (non-rolling) recompute agrees
+    val direct = TextHash.rollingHashes("cde", 3)(0)
+    assert(h1(2) == direct)
+  }
+
+  test("winnow: min-per-window, consecutive dedup") {
+    assert(TextHash.winnow(Array(5L, 3L, 8L, 3L, 9L, 1L), 3).toSeq == Seq(3L, 1L))
+    assert(TextHash.winnow(Array(7L), 3).toSeq == Seq(7L))
+    assert(TextHash.winnow(Array.empty[Long], 4).isEmpty)
+  }
+
+  test("simhash: identical token sets collide, disjoint sets differ") {
+    val a = TextHash.simHash(Seq("spark", "query", "join", "scan"))
+    val b = TextHash.simHash(Seq("spark", "query", "join", "scan"))
+    val c = TextHash.simHash(Seq("completely", "different", "words", "here"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) > 8)
+  }
+
+  test("minhash: jaccard estimate improves with shared shingles") {
+    val base = (0 until 50).map(i => s"sh$i")
+    val near = (0 until 45).map(i => s"sh$i") ++ (0 until 5).map(i => s"zz$i")
+    val far = (0 until 50).map(i => s"ww$i")
+    val s1 = TextHash.minHash(base, 64)
+    val s2 = TextHash.minHash(near, 64)
+    val s3 = TextHash.minHash(far, 64)
+    def sim(a: Array[Long], b: Array[Long]) = a.zip(b).count(p => p._1 == p._2) / 64.0
+    assert(sim(s1, s2) > 0.5)
+    assert(sim(s1, s3) < 0.2)
+  }
+
+  // ------------------------------------------------ kNN
+
+  test("kNN via cell-ring expansion matches brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+    val points = pts.toDF("pid", "px", "py")
+    val queries = pts.take(40).map { case (i, x, y) => (i, x, y) }.toSeq.toDF("qid", "qx", "qy")
+
+    val got = KnnJoin.run(spark, queries, points, k = 5)
+      .select("qid", "rank", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+
+    val want = pts.take(40).flatMap { case (qid, qx, qy) =>
+      pts.filter(_._1 != qid)
+        .map { case (pid, px, py) => (pid, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .sortBy(t => (t._2, t._1)).take(5).zipWithIndex
+        .map { case ((pid, _), i) => (qid, i + 1, pid) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  // ------------------------------------------------ coverage
+
+  test("flight-date parsing: two formats, list handling, corrupt tracking") {
+    assert(Coverage.parseDateFlown("<r><osgb:dateFlown>2010-05-18</osgb:dateFlown></r>")
+      .contains(java.time.LocalDate.of(2010, 5, 18)))
+    assert(Coverage.parseDateFlown("<r><osgb:dateFlown>16/07/2006</osgb:dateFlown></r>")
+      .contains(java.time.LocalDate.of(2006, 7, 16)))
+    assert(Coverage.parseDateFlown("<r><osgb:dateFlown>garbage</osgb:dateFlown></r>").isEmpty)
+    assert(Coverage.parseDateFlown("not xml at all").isEmpty)
+    // dateFloat golden: 2010-05-18 is ISO (2010, week 20, tue=2)
+    val df = Coverage.dateFloat(java.time.LocalDate.of(2010, 5, 18))
+    assert(math.abs(df - (2010 + (20 * 7 + 2) / 366.0)) < 1e-12)
+  }
+
+  test("coverage thumbnail map: placement, flip, odd names") {
+    import spark.implicits._
+    val ts = 64
+    val tiles = Seq(
+      Synthetic.makeTile(0, 0, ts, 42L).copy(image_id = "SV0000"),
+      Synthetic.makeTile(1, 0, ts, 42L).copy(image_id = "SV0100"),
+      Synthetic.makeTile(0, 1, ts, 42L).copy(image_id = "SV0001"),
+      Synthetic.makeTile(0, 0, ts, 42L).copy(image_id = "WEIRD_NAME")
+    ).toDF()
+    val res = Coverage.thumbnailMap(spark, tiles, tsz = 4)
+    val w = 7 * 100 * 4; val h = 13 * 100 * 4
+    assert(res.raster.w == w && res.raster.h == h)
+    // SV0000 occupies bottom-left 4x4 block; some pixel non-zero there
+    val bottomLeft = (0 until 4).exists { r =>
+      (0 until 4 * 3).exists(c => res.raster.data(((h - 4 + r) * w) * 3 + c) != 0)
+    }
+    assert(bottomLeft)
+    assert(res.status.exists(_.contains("WEIRD_NAME")))
+    // coverage-only mode paints white
+    val cov = Coverage.thumbnailMap(spark, tiles, tsz = 4, coverageOnly = true)
+    assert((cov.raster.data(((h - 1) * w) * 3) & 0xff) == 255)
+  }
+
+  test("flights over synthetic xml table with oracle-checked stats") {
+    import spark.implicits._
+    val xmls = Seq(
+      ("SV0000", "<r><osgb:dateFlown>2010-05-18</osgb:dateFlown></r>"),
+      ("SV0001", "<r><osgb:dateFlown>16/07/2006</osgb:dateFlown></r>"),
+      ("SV0002", "<r><broken>")).toDF("tile_code", "xml")
+    val parsed = Coverage.flights(spark, xmls)
+    val stats = Coverage.flightStats(parsed).collect()(0)
+    assert(stats.getAs[Long]("n_corrupt") == 1)
+    assert(stats.getAs[Long]("n_tiles") == 3)
+    assert(math.abs(stats.getAs[Double]("min_date_float") -
+      Coverage.dateFloat(java.time.LocalDate.of(2006, 7, 16))) < 1e-12)
+  }
+
+  // ------------------------------------------------ GeoJSON ingest
+
+  test("GeoJSON reader: multipolygon, packed uprn, crs, toid fallback") {
+    val json =
+      """{ "type": "FeatureCollection", "name": "t",
+        |  "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:EPSG::27700"}},
+        |  "features": [
+        |   {"type": "Feature", "properties": {"id": "osgb1", "uprn": "{111,222}"},
+        |    "geometry": {"type": "MultiPolygon",
+        |      "coordinates": [[[[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 0.0]]]]}},
+        |   {"type": "Feature", "properties": {"toid": "osgb2", "uprn": null},
+        |    "geometry": {"type": "MultiPolygon",
+        |      "coordinates": [[[[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 10.0]]]]}}
+        |]}""".stripMargin
+    val f = java.io.File.createTempFile("gardens", ".geojson")
+    java.nio.file.Files.writeString(f.toPath, json)
+    val df = GeoJson.readGardens(spark, f.getAbsolutePath)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("id") == "osgb1")
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("uprn")) == Seq("111", "222"))
+    assert(rows(0).getAs[String]("crs") == "urn:ogc:def:crs:EPSG::27700")
+    assert(rows(1).getAs[String]("id") == "osgb2")
+    assert(rows(1).getSeq[String](rows(1).fieldIndex("uprn")).isEmpty)
+    val geom = rows(0).getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[_]]]]("geometry")
+    assert(geom.head.head.length == 4)
+  }
+
+  // ------------------------------------------------ reports
+
+  test("report files replicate the reference's formats byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("reports").toString
+    val res = VegPipeline.run(spark,
+      Synthetic.gardens(spark, 10, 4, 4), Synthetic.tiles(spark, 4, 4, 64),
+      VegPipeline.Config(tileSize = 64, kernelNames = Seq("greenleaf")))
+    Reports.writeAll(res, Seq("greenleaf"), "testloader", dir + "/run-",
+      "urn:ogc:def:crs:EPSG::27700", warnings = Seq("w1"))
+    val summary = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-summary.txt"))
+    assert(summary.startsWith("Total surface area: "))
+    assert(summary.contains("m²"))
+    assert(summary.contains("Total vegetation surface area from greenleaf: "))
+    assert(summary.contains("Garden centroid output with co-ordinate reference system [urn:ogc:def:crs:EPSG::27700]"))
+    val veg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-vegetation.csv"))
+    assert(veg.startsWith("feature id, garden centroid x, garden centroid y, surface area m², fraction classed as vegetation by greenleaf\n"))
+    assert(veg.linesIterator.size == 11)
+    val t2u = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-toid2uprn.csv"))
+    assert(t2u.startsWith("feature id, feature uprn\n"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-warnings.txt")))
+  }
+
+  // ------------------------------------------------ streaming
+
+  test("streaming tile scoring equals the batch pipeline") {
+    val ts = 64
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    val tilesDir = s"$dir/tiles"
+    val outDir = s"$dir/out"
+    // two arrival waves of tiles
+    val all = Synthetic.tiles(spark, 4, 4, ts)
+    all.where(col("image_id") < lit("SU0202")).write.parquet(tilesDir)
+    val gardens = Synthetic.gardens(spark, 15, 4, 4)
+    val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf"))
+
+    val q = Streams.startTileScoring(spark, tilesDir, all, gardens, cfg, outDir)
+    q.processAllAvailable()
+    all.where(col("image_id") >= lit("SU0202")).write.mode("append").parquet(tilesDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = Streams.fractionsFromPartials(spark, outDir, gardens, cfg)
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val batch = VegPipeline.run(spark, gardens, all,
+      cfg.copy(handleMissingTiles = false))
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming hourly window agg runs and is deterministic") {
+    val a = Streams.hourlyEventCounts(spark, "/root/testdata/sf0.001/events.parquet").collect()
+    assert(a.length > 0)
+    val b = Streams.hourlyEventCounts(spark, "/root/testdata/sf0.001/events.parquet").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+}

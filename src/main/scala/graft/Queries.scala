@@ -476,6 +476,28 @@ object Queries {
     VegPipeline.summarize(res, Seq("greenleaf"))
   }
 
+  /** IRGB fused pipeline: RGB ⋈ CIR tile join + Ir fusion + the NDVI/matt
+    * infrared kernels (S3/J2/K5/K10). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    val ts = 64
+    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, ts),
+        VegPipeline.Config(tileSize = ts, kernelNames = Seq("ndvi-irgb", "matt")),
+        cirTiles = Some(Synthetic.tilesCir(s, gw, gh, ts)))
+      .select("id", "npix", "frac_ndvi-irgb", "frac_matt")
+      .orderBy("id")
+  }
+
+  /** The NN classifier kernel (K12) over the fused tile table. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val ts = 64
+    VegPipeline.run(s, Synthetic.gardens(s, 20, 3, 3), Synthetic.tiles(s, 3, 3, ts),
+        VegPipeline.Config(tileSize = ts, kernelNames = Seq("nn")),
+        cirTiles = Some(Synthetic.tilesCir(s, 3, 3, ts)))
+      .select("id", "npix", "frac_nn")
+      .orderBy("id")
+  }
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val (gw, gh, ng) = syntheticScale(dir)
@@ -513,7 +535,9 @@ object Queries {
     "q30_veg_flagship" -> (q30 _),
     "q31_phash_dedup" -> (q31 _),
     "q32_veg_summary" -> (q32 _),
-    "q33_toid2uprn" -> (q33 _)
+    "q33_toid2uprn" -> (q33 _),
+    "q34_veg_irgb" -> (q34 _),
+    "q35_veg_nn" -> (q35 _)
   )
 
   val oracles: Map[String, String] = Map(

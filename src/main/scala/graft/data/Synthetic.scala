@@ -84,6 +84,55 @@ object Synthetic {
     h
   }
 
+  /** CIR companion tile: Ir,R,G stored in the R,G,B slots (so cv2-order
+    * decode yields (G, R, Ir), reference image_loaders.py:376-379).
+    * Generated at half resolution to exercise the bicubic Ir upscale. */
+  def tileRasterCir(e: Int, n: Int, ts: Int, seed: Long): Raster = {
+    val half = math.max(ts / 2, 8)
+    val data = new Array[Byte](half * half * 3)
+    val cellSeed = mix2(seed ^ 0xc19, (e.toLong << 32) | n.toLong)
+    val groundSeed = mix2(seed, (e.toLong << 32) | n.toLong)
+    val block = math.max(8 * half / ts, 1)
+    var row = 0
+    while (row < half) {
+      var colI = 0
+      while (colI < half) {
+        // same ground-truth vegetation pattern as the RGB tile (aligned blocks)
+        val bx = (colI * ts / half) / 8; val by = (row * ts / half) / 8
+        val veg = java.lang.Long.remainderUnsigned(mix2(groundSeed, (bx.toLong << 20) | by.toLong), 3L) == 0L
+        val pj = mix2(cellSeed, (row.toLong << 20) | colI.toLong)
+        val off = (row * half + colI) * 3
+        val ir = if (veg) 200 + (pj & 15).toInt else 60 + ((pj >>> 8) & 15).toInt
+        val rTrue = if (veg) 60 + ((pj >>> 16) & 15).toInt else 115 + (pj & 15).toInt
+        val gTrue = if (veg) 160 + ((pj >>> 24) & 15).toInt else 115 + (pj & 15).toInt
+        // stored RGB = (Ir, R, G) -> decoded BGR = (G, R, Ir)
+        data(off) = gTrue.toByte      // B slot <- G
+        data(off + 1) = rTrue.toByte  // G slot <- R
+        data(off + 2) = ir.toByte     // R slot <- Ir
+        colI += 1
+      }
+      row += 1
+    }
+    val _ = block
+    Raster(data, half, half, 3)
+  }
+
+  def makeTileCir(e: Int, n: Int, ts: Int, seed: Long): TileRow = {
+    val raster = tileRasterCir(e, n, ts, seed)
+    val code = TileCode.fromEastingsNorthings(e, n)
+    TileRow(code, Codec.encodePNG(raster), raster.w, raster.h, "png",
+      s"synthetic CIR tile $code size=${raster.w}px", aHash(raster))
+  }
+
+  def tilesCir(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(gridW.toLong * gridH).map { i =>
+      val e = BaseE + (i % gridW).toInt
+      val n = BaseN + (i / gridW).toInt
+      makeTileCir(e, n, ts, seed)
+    }.toDF()
+  }
+
   def makeTile(e: Int, n: Int, ts: Int, seed: Long): TileRow = {
     val raster = tileRaster(e, n, ts, seed)
     val code = TileCode.fromEastingsNorthings(e, n)

@@ -18,7 +18,7 @@ import graft.img.ColorSpace
   * interleaved buffer in cv2 memory order: BGR (RGB sources), G,R,Ir
   * (CIR sources loaded as BGR), or BGR+Ir (fused IRGB).
   */
-sealed trait IndexKernel extends Serializable {
+trait IndexKernel extends Serializable {
   def shortName: String
   /** "RGB" | "CIR" | "IRGB" — must match the tile source format
     * (reference: analyse_polygons.py:208-213). */
@@ -169,7 +169,8 @@ object Kernels {
     * (analyse_polygons_template.json:56-148). */
   val all: Map[String, IndexKernel] = Seq(
     AssumesGreen(), GreenLeafIndex(), GreenFromHSV(), NdviCir(), NdviIrgb(),
-    Vndvi(), Vari(), GreenFromLab1(), GreenFromLab2(), MattIrHSV(), Matt2IrHSV()
+    Vndvi(), Vari(), GreenFromLab1(), GreenFromLab2(), MattIrHSV(), Matt2IrHSV(),
+    NnClassifier()
   ).map(k => k.shortName -> k).toMap
 
   /** Apply a kernel over a full buffer with an aligned mask; returns

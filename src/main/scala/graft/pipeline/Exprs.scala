@@ -108,16 +108,19 @@ case class PrepareGarden(gid: Expression, geometry: Expression, crs: Expression,
   * analogue of the reference's LRU-amortized decode,
   * image_loaders.py:215-227). Null/absent tile bytes -> the reference's
   * zero-fill semantics via each kernel's onBlack value. Wrong-sized tiles
-  * are resized to tileSize (image_loaders.py:222-226). */
+  * are resized to tileSize (image_loaders.py:222-226). For IRGB kernels,
+  * `cirBytes` carries the same-cell CIR tile which is fused as the Ir
+  * plane with bicubic upscale (S3/J2, image_loaders.py:362-386). */
 case class ScoreFragments(cell: Expression, bytes: Expression,
-                          blobs: Expression,
+                          cirBytes: Expression, blobs: Expression,
                           tileSize: Int, kernelNames: Seq[String])
     extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(cell, bytes, blobs)
+  override def children: Seq[Expression] = Seq(cell, bytes, cirBytes, blobs)
   override def nullable: Boolean = false
 
   @transient private lazy val kernels: Array[IndexKernel] =
     kernelNames.map(Kernels.all(_)).toArray
+  @transient private lazy val format: String = kernels.head.inputFormat
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("gid", LongType, nullable = false),
@@ -130,12 +133,19 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
     val blobsV = blobs.eval(input).asInstanceOf[ArrayData]
     if (blobsV == null || blobsV.numElements() == 0) return new GenericArrayData(Array.empty[Any])
     val bytesV = bytes.eval(input).asInstanceOf[Array[Byte]]
+    val cirV = cirBytes.eval(input).asInstanceOf[Array[Byte]]
 
     val ts = tileSize
     var raster: Raster = null
     if (bytesV != null && bytesV.nonEmpty) {
       raster = Codec.decodeBGR(bytesV)
       if (raster.w != ts || raster.h != ts) raster = Resize.bilinear(raster, ts, ts)
+      if (format == "IRGB") {
+        val cir =
+          if (cirV != null && cirV.nonEmpty) Codec.decodeBGR(cirV)
+          else Raster(new Array[Byte](ts * ts * 3), ts, ts, 3) // zero Ir plane
+        raster = Codec.fuseBGRI(raster, cir)
+      }
     }
 
     val e = ZIndex.cellE(cellV)
@@ -152,7 +162,7 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(cell = newChildren(0), bytes = newChildren(1), blobs = newChildren(2))
+    copy(cell = newChildren(0), bytes = newChildren(1), cirBytes = newChildren(2), blobs = newChildren(3))
 }
 
 /** OSGB tile code string -> packed cell id (null outside the grid,

@@ -71,11 +71,11 @@ object VegPipeline {
   /** Per-garden result: gid, id, uprn, cx, cy, area_m2, sort_key, npix,
     * frac_<kernel>... */
   def run(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
-          cfg: Config = Config()): DataFrame =
-    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize), tiles, cfg)
+          cfg: Config = Config(), cirTiles: Option[DataFrame] = None): DataFrame =
+    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize), tiles, cfg, cirTiles)
 
   def scoreAgainst(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
-                   cfg: Config): DataFrame = {
+                   cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame = {
     val nK = cfg.kernelNames.length
     require(nK > 0, "at least one index kernel required")
     require(index.tileSize == cfg.tileSize, "index/config tile size mismatch")
@@ -83,17 +83,29 @@ object VegPipeline {
     val fmts = cfg.kernelNames.map(Kernels.all(_).inputFormat).distinct
     require(fmts.size == 1,
       s"all kernels in one pass must share an input format, got $fmts")
+    require(fmts.head != "IRGB" || cirTiles.nonEmpty,
+      "IRGB kernels need the CIR tile table for Ir fusion (S3)")
 
     val prepared = index.prepared
     val cellPolys = index.cellPolys
     val polysSide = if (cfg.broadcastPolys) broadcast(cellPolys) else cellPolys
 
-    val tilesWithCell = tiles
+    val rgbWithCell = tiles
       .select(tileCell(col("image_id")).as("cell"), col("bytes"))
       .where(col("cell").isNotNull)
 
+    // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels
+    val tilesWithCell = cirTiles match {
+      case Some(cir) =>
+        val cirWithCell = cir
+          .select(tileCell(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
+          .where(col("cell").isNotNull)
+        rgbWithCell.join(cirWithCell, Seq("cell"), "left_outer")
+      case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
+    }
+
     val scoreCol = ec(ScoreFragments(
-      ee(col("cell")), ee(col("bytes")), ee(col("blobs")),
+      ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")), ee(col("blobs")),
       cfg.tileSize, cfg.kernelNames))
 
     val scored = tilesWithCell
@@ -107,7 +119,7 @@ object VegPipeline {
         val present = sc.select("cell").distinct()
         val missing = cellPolys.join(present, Seq("cell"), "left_anti")
         val missingScore = ec(ScoreFragments(
-          ee(col("cell")), ee(lit(null).cast("binary")), ee(col("blobs")),
+          ee(col("cell")), ee(lit(null).cast("binary")), ee(lit(null).cast("binary")), ee(col("blobs")),
           cfg.tileSize, cfg.kernelNames))
         val missingScored = missing
           .select(col("cell"), explode(missingScore).as("s"))

@@ -34,7 +34,7 @@ object Streams {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val scoreCol = ec(ScoreFragments(
-          ee(col("cell")), ee(col("bytes")), ee(col("blobs")),
+          ee(col("cell")), ee(col("bytes")), ee(lit(null).cast("binary")), ee(col("blobs")),
           cfg.tileSize, cfg.kernelNames))
         batch
           .select(VegPipeline.tileCell(col("image_id")).as("cell"), col("bytes"))

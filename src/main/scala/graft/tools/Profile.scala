@@ -44,6 +44,7 @@ object Profile {
       ec(ScoreFragments(
         ee(Exprs.col(TileCodeToCell(ee(col("image_id"))))),
         ee(col("bytes")),
+        ee(lit(null).cast("binary")),
         ee(array(lit(graft.pipeline.PolyBlob.serialize(0L, 0, 10, 0, 10,
           graft.geom.MPoly.fromPolygonCoords(Seq(Seq(Seq(1.0, 1.0), Seq(9.0, 1.0), Seq(9.0, 9.0), Seq(1.0, 9.0), Seq(1.0, 1.0)))))))),
         256, Seq("greenleaf"))).as("s"))

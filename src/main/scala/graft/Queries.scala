@@ -498,6 +498,41 @@ object Queries {
       .orderBy("id")
   }
 
+  /** LSH-bucketed approximate nearest neighbours (scale path for q16). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Ann.lshTopK(t(s, dir, "embeddings"), col("vec_id") % 100 === 0, 10, 64, nPlanes = 6)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+
+  /** Multimodal: probe + per-frame features over the synthetic video table. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import graft.media._
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val vids = SyntheticMedia.videos(s, 24)
+    vids.select(col("media_id"), ec(ProbeMedia(ee(col("bytes")))).as("meta"),
+        explode(ec(SampleFrames(ee(col("bytes")), 4))).as("frame"))
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"),
+        ec(FrameFeatures(ee(col("frame")))).as("features"))
+      .select(col("media_id"), col("n_frames"),
+        round(element_at(col("features"), 1), 4).as("mean_b"),
+        round(element_at(col("features"), 2), 4).as("mean_g"))
+      .orderBy("media_id", "mean_b")
+  }
+
+  /** Multimodal: audio RMS / zero-crossing features. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import graft.media._
+    val auds = SyntheticMedia.audios(s, 32)
+    import s.implicits._
+    auds.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val f = MediaCodec.audioFeatures(bytes)
+        (id, f.map(_._1).getOrElse(-1.0), f.map(_._2).getOrElse(-1.0))
+      }.toDF("media_id", "rms", "zcr")
+      .select(col("media_id"), round(col("rms"), 3).as("rms"), round(col("zcr"), 5).as("zcr"))
+      .orderBy("media_id")
+  }
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val (gw, gh, ng) = syntheticScale(dir)
@@ -532,12 +567,15 @@ object Queries {
     "q24_simhash_dedup" -> (q24 _),
     "q25_minhash_lsh" -> (q25 _),
     "q26_phash_neardup" -> (q26 _),
+    "q27_ann_lsh" -> (q27 _),
     "q30_veg_flagship" -> (q30 _),
     "q31_phash_dedup" -> (q31 _),
     "q32_veg_summary" -> (q32 _),
     "q33_toid2uprn" -> (q33 _),
     "q34_veg_irgb" -> (q34 _),
-    "q35_veg_nn" -> (q35 _)
+    "q35_veg_nn" -> (q35 _),
+    "q36_media_frames" -> (q36 _),
+    "q37_audio_features" -> (q37 _)
   )
 
   val oracles: Map[String, String] = Map(

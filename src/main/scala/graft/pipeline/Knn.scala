@@ -8,28 +8,32 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-import graft.index.ZIndex
+import graft.index.{GridSystem, ZIndex}
 
-/** Cell id of a 2D point (unit = one cell). */
-case class PointCell(x: Expression, y: Expression) extends Expression with CodegenFallback {
+/** Cell id of a 2D point under a pluggable grid (square/H3-hex). */
+case class PointCell(x: Expression, y: Expression,
+                     grid: GridSystem = GridSystem.Square)
+    extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(x, y)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def eval(input: InternalRow): Any = {
     val xv = x.eval(input).asInstanceOf[Number].doubleValue()
     val yv = y.eval(input).asInstanceOf[Number].doubleValue()
-    ZIndex.cellId(math.floor(xv).toInt, math.floor(yv).toInt)
+    grid.cellOf(xv, yv)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(x = c(0), y = c(1))
 }
 
-/** k-ring of cells around a cell id (Chebyshev ring on the square grid —
-  * the H3 kRing analogue, J4 / north-rule kNN support). */
-case class KRingCells(cell: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+/** k-ring of cells around a cell id (H3 kRing analogue, J4 /
+  * north-rule kNN support). */
+case class KRingCells(cell: Expression, k: Int,
+                      grid: GridSystem = GridSystem.Square)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(ZIndex.kRing(v.asInstanceOf[Long], k))
+    new GenericArrayData(grid.kRing(v.asInstanceOf[Long], k))
   override protected def withNewChildInternal(c: Expression): Expression = copy(cell = c)
   override def child: Expression = cell
 }
@@ -53,8 +57,9 @@ object KnnJoin {
   import Exprs.{col => ec, expr => ee}
 
   def run(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
-          initialRing: Int = 1, maxRounds: Int = 4): DataFrame = {
-    val pts = points.withColumn("pcell", ec(PointCell(ee(col("px")), ee(col("py")))))
+          initialRing: Int = 1, maxRounds: Int = 4,
+          grid: GridSystem = GridSystem.Square): DataFrame = {
+    val pts = points.withColumn("pcell", ec(PointCell(ee(col("px")), ee(col("py")), grid)))
 
     var remaining = queries
     var results: DataFrame = null
@@ -62,8 +67,8 @@ object KnnJoin {
     var round = 0
     while (round < maxRounds && !remaining.isEmpty) {
       val cand = remaining
-        .withColumn("qcell", ec(PointCell(ee(col("qx")), ee(col("qy")))))
-        .withColumn("cell", explode(ec(KRingCells(ee(col("qcell")), r))))
+        .withColumn("qcell", ec(PointCell(ee(col("qx")), ee(col("qy")), grid)))
+        .withColumn("cell", explode(ec(KRingCells(ee(col("qcell")), r, grid))))
         .join(pts, col("cell") === col("pcell"))
         .where(col("qid") =!= col("pid"))
         .withColumn("dist2",
@@ -82,8 +87,8 @@ object KnnJoin {
       // exactness: k candidates found and k-th distance within the ring guarantee
       val status = ranked.groupBy("qid")
         .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("maxd"))
-        .withColumn("exact", // strict <: a point just outside ring r can sit at distance exactly r
-          col("found") === k && (col("maxd") < lit(r.toDouble) || lit(round == maxRounds - 1)))
+        .withColumn("exact", // strict <: a point just outside ring r can sit at the bound
+          col("found") === k && col("maxd") < lit(grid.minDistOutsideRing(r)))
       val good = ranked.join(status.where(col("exact")).select("qid"), Seq("qid"))
       results = if (results == null) good else results.unionAll(good)
       remaining = remaining.join(status.where(col("exact")).select("qid"), Seq("qid"), "left_anti")

@@ -110,6 +110,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("kNN over the hex grid (H3-style) matches brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 15, rnd.nextDouble() * 15))
+    val points = pts.toDF("pid", "px", "py")
+    val queries = pts.take(25).toSeq.toDF("qid", "qx", "qy")
+    val got = KnnJoin.run(spark, queries, points, k = 4,
+        grid = graft.index.GridSystem.Hex(1.0))
+      .select("qid", "rank", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val want = pts.take(25).flatMap { case (qid, qx, qy) =>
+      pts.filter(_._1 != qid)
+        .map { case (pid, px, py) => (pid, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .sortBy(t => (t._2, t._1)).take(4).zipWithIndex
+        .map { case ((pid, _), i) => (qid, i + 1, pid) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("hex index: cellOf/center/kRing invariants") {
+    val hex = graft.index.HexIndex(1.0)
+    // the center of a cell maps back to the cell
+    for (q <- -3 to 3; r <- -3 to 3) {
+      val c = hex.pack(q, r)
+      val (x, y) = hex.center(c)
+      assert(hex.cellOf(x, y) == c, s"center roundtrip ($q,$r)")
+    }
+    // ring sizes: 3k^2+3k+1
+    assert(hex.kRing(hex.pack(0, 0), 0).length == 1)
+    assert(hex.kRing(hex.pack(0, 0), 1).length == 7)
+    assert(hex.kRing(hex.pack(0, 0), 2).length == 19)
+    // every point maps into a cell whose center is within circumradius
+    val rnd = new scala.util.Random(3)
+    (0 until 500).foreach { _ =>
+      val x = rnd.nextDouble() * 20 - 10
+      val y = rnd.nextDouble() * 20 - 10
+      val (cx, cy) = hex.center(hex.cellOf(x, y))
+      assert(math.hypot(x - cx, y - cy) <= 1.0 + 1e-9)
+    }
+  }
+
   // ------------------------------------------------ coverage
 
   test("flight-date parsing: two formats, list handling, corrupt tracking") {
@@ -215,6 +256,80 @@ class OperatorsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-warnings.txt")))
   }
 
+  // ------------------------------------------------ ANN / media
+
+  test("LSH ANN recall vs brute force is high on clustered embeddings") {
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    // 10 tight direction-clusters of 40 vectors each (deterministic)
+    val dim = 16
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(j => (Synthetic.u01(Synthetic.mix2(seed, j)) - 0.5))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 400).map { i =>
+      val cluster = i % 10
+      val center = unit(1000L + cluster)
+      val noise = unit(5000L + i)
+      (i.toLong, center.zip(noise).map { case (a, b) => a + 0.15f * b })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val k = 10
+    val exact = graft.functions.Ann.bruteForceTopK(emb, c("vec_id") % 40 === 0, k)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim, nPlanes = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall $recall")
+    // at most k per query (approximate path returns a proper top-k)
+    val counts = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim, nPlanes = 6)
+      .groupBy("query_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= k))
+  }
+
+  test("media: video container probe/sample/features/resize round-trip") {
+    import graft.media._
+    val row = SyntheticMedia.makeVideo(7L, nFrames = 6, w = 16, h = 16, seed = 42L)
+    assert(MediaCodec.magicOf(row.bytes) == "video")
+    val meta = MediaCodec.videoMeta(row.bytes).get
+    assert(meta.nFrames == 6 && meta.w == 16 && meta.h == 16 && meta.fps == 10)
+    val frames = MediaCodec.sampleFrames(row.bytes, stride = 2)
+    assert(frames.length == 3)
+    val feats = MediaCodec.frameFeatures(frames.head)
+    assert(feats.length == 11)
+    assert(math.abs(feats.drop(3).sum - 1.0) < 1e-9) // histogram normalised
+    // unsupported container -> stubbed decode yields no frames, no crash
+    assert(MediaCodec.sampleFrames("not-a-video".getBytes, 1).isEmpty)
+    assert(MediaCodec.magicOf("garbagegarbage".getBytes) == "unsupported")
+    // audio
+    val a = SyntheticMedia.makeAudio(3L, 2000, 42L)
+    val Some((rms, zcr)) = MediaCodec.audioFeatures(a.bytes)
+    assert(rms > 100 && zcr > 0.0 && zcr < 0.5)
+  }
+
+  test("media expressions run distributed over the synthetic video table") {
+    import graft.media._
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import org.apache.spark.sql.functions.{col => c, _}
+    val vids = SyntheticMedia.videos(spark, 12)
+    val probed = vids.select(c("media_id"), ec(ProbeMedia(ee(c("bytes")))).as("meta"))
+      .select(c("media_id"), c("meta.kind"), c("meta.n_frames"))
+    assert(probed.collect().forall(r => r.getString(1) == "video" && r.getInt(2) == 8))
+    val feats = vids
+      .select(c("media_id"), explode(ec(SampleFrames(ee(c("bytes")), 4))).as("frame"))
+      .select(c("media_id"), ec(FrameFeatures(ee(c("frame")))).as("f"))
+    val n = feats.count()
+    assert(n == 24) // 8 frames, stride 4 -> 2 per video
+    val resized = vids.limit(2)
+      .select(ec(ResizeFrame(ee(element_at(ec(SampleFrames(ee(c("bytes")), 8)), 1)), 8, 8)).as("png"))
+      .collect()
+    resized.foreach { r =>
+      val img = graft.img.Codec.decodeBGR(r.getAs[Array[Byte]]("png"))
+      assert(img.w == 8 && img.h == 8)
+    }
+  }
+
   // ------------------------------------------------ streaming
 
   test("streaming tile scoring equals the batch pipeline") {
@@ -242,6 +357,36 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id", "npix", "frac_greenleaf").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("checkpoint/resume: interrupted run resumes from the manifest and matches batch") {
+    val ts = 64
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val gardens = Synthetic.gardens(spark, 20, 4, 4)
+    val tiles = Synthetic.tiles(spark, 4, 4, ts)
+    val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf", "hsv"))
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+
+    // simulate a crash after 2 of 4 groups
+    val ran1 = graft.pipeline.Checkpoint.runGroups(spark, idx, tiles, cfg, dir,
+      buckets = 16, groupSize = 4, maxGroups = 2)
+    assert(ran1 == 2)
+    assert(graft.pipeline.Checkpoint.completedGroups(dir) == Set(0, 1))
+    // resume: only the remaining 2 groups run
+    val ran2 = graft.pipeline.Checkpoint.runGroups(spark, idx, tiles, cfg, dir,
+      buckets = 16, groupSize = 4)
+    assert(ran2 == 2)
+    // re-invocation is a no-op (idempotent)
+    assert(graft.pipeline.Checkpoint.runGroups(spark, idx, tiles, cfg, dir,
+      buckets = 16, groupSize = 4) == 0)
+
+    val resumed = graft.pipeline.Checkpoint.fractions(spark, idx, cfg, dir)
+      .select("id", "npix", "frac_greenleaf", "frac_hsv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val batch = VegPipeline.run(spark, gardens, tiles, cfg.copy(handleMissingTiles = false))
+      .select("id", "npix", "frac_greenleaf", "frac_hsv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(resumed.toSeq == batch.toSeq)
   }
 
   test("streaming hourly window agg runs and is deterministic") {

@@ -113,7 +113,9 @@ case class PrepareGarden(gid: Expression, geometry: Expression, crs: Expression,
   * plane with bicubic upscale (S3/J2, image_loaders.py:362-386). */
 case class ScoreFragments(cell: Expression, bytes: Expression,
                           cirBytes: Expression, blobs: Expression,
-                          tileSize: Int, kernelNames: Seq[String])
+                          tileSize: Int, kernelNames: Seq[String],
+                          yDown: Boolean = false,
+                          metrics: Option[PipelineMetrics] = None)
     extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(cell, bytes, cirBytes, blobs)
   override def nullable: Boolean = false
@@ -138,6 +140,7 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
     val ts = tileSize
     var raster: Raster = null
     if (bytesV != null && bytesV.nonEmpty) {
+      metrics.foreach(_.tilesDecoded.add(1))
       raster = Codec.decodeBGR(bytesV)
       if (raster.w != ts || raster.h != ts) raster = Resize.bilinear(raster, ts, ts)
       if (format == "IRGB") {
@@ -148,13 +151,17 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
       }
     }
 
+    metrics.foreach { m =>
+      if (raster == null) m.missingTileFragments.add(blobsV.numElements())
+      m.fragmentsScored.add(blobsV.numElements())
+    }
     val e = ZIndex.cellE(cellV)
     val n = ZIndex.cellN(cellV)
     val out = new Array[Any](blobsV.numElements())
     var i = 0
     while (i < blobsV.numElements()) {
       val pp = PolyBlob.deserialize(blobsV.getBinary(i))
-      val (npix, veg) = PolyBlob.scoreFragment(pp, e, n, ts, raster, kernels)
+      val (npix, veg) = PolyBlob.scoreFragment(pp, e, n, ts, raster, kernels, yDown)
       out(i) = InternalRow(pp.gid, npix, new GenericArrayData(veg))
       i += 1
     }
@@ -163,6 +170,73 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(cell = newChildren(0), bytes = newChildren(1), cirBytes = newChildren(2), blobs = newChildren(3))
+}
+
+/** Web-mercator garden preparation (the WebMercatorMapLoader path,
+  * image_loaders.py:32-158): CRS84 only; geometry goes to (tileX,
+  * tileY-down) slippy coordinates at `zoom`; area stays in tile² units
+  * (explicitly not metric, README.md:172); cells are (x, y) slippy keys. */
+case class PrepareGardenWebMerc(gid: Expression, geometry: Expression, crs: Expression,
+                                zoom: Int, tileSize: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(gid, geometry, crs)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("blob", BinaryType, nullable = false),
+    StructField("cells", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("cx", DoubleType, nullable = false),
+    StructField("cy", DoubleType, nullable = false),
+    StructField("area_m2", DoubleType, nullable = false),
+    StructField("sort_key", LongType, nullable = false)
+  ))
+
+  override def eval(input: InternalRow): Any = {
+    val gidV = gid.eval(input).asInstanceOf[Long]
+    val coords = geometry.eval(input).asInstanceOf[ArrayData]
+    val crsV = crs.eval(input).asInstanceOf[UTF8String].toString
+    if (crsV != Exprs.CRS84)
+      throw new IllegalArgumentException(s"""crs_name="$crsV" is unsupported""")
+    val raw = Exprs.coordsToMPoly(coords)
+    // (lon, lat) -> (x = tileX, y = tileY downward)
+    val gTile = raw.map { (lon, lat) =>
+      val (ty, tx) = graft.geo.WebMercator.latLongToTileYX(zoom, lat, lon)
+      (tx, ty)
+    }
+    val (cx, cy) = raw.centroid
+    val area = gTile.area // tile^2 units (image_loaders.py:119)
+    val (mnx, mny, mxx, mxy) = gTile.bounds
+    val cells = graft.index.ZIndex.coverBounds(mnx, mny, mxx, mxy)
+    // reference sort key uses the transformed bounds as stored: (tileY, tileX)
+    val sortKey = mny.toInt.toLong * 1000L + mnx.toInt.toLong
+
+    val ts = tileSize
+    val cropX0 = math.floor(mnx * ts).toInt
+    val cropY0 = math.floor(mny * ts).toInt
+    val cropX1 = math.floor(mxx * ts).toInt
+    val cropY1 = math.floor(mxy * ts).toInt
+    val gPix = gTile.affine(ts, 0, 0, ts, 0, 0)
+    val blob = PolyBlob.serialize(gidV, cropX0, cropX1, cropY0, cropY1, gPix)
+    InternalRow(blob, new GenericArrayData(cells), cx, cy, area, sortKey)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(gid = newChildren(0), geometry = newChildren(1), crs = newChildren(2))
+}
+
+/** Slippy key "z/x/y" -> packed cell id (null when zoom mismatches). */
+case class SlippyKeyToCell(child: Expression, zoom: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val parts = v.asInstanceOf[UTF8String].toString.split('/')
+    if (parts.length != 3) return null
+    try {
+      if (parts(0).toInt != zoom) null
+      else ZIndex.cellId(parts(1).toInt, parts(2).toInt)
+    } catch { case _: NumberFormatException => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** OSGB tile code string -> packed cell id (null outside the grid,

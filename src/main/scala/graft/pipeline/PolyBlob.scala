@@ -66,8 +66,13 @@ object PolyBlob {
     *               zero-fills absent mosaic regions — kernels evaluate
     *               their onBlack value)
     * @return (npix, vegCounts) — zeros when the fragment window is empty */
+  /** @param yDown web-mercator orientation: cell y and pixel rows grow
+    *              southward with an UNFLIPPED raster affine
+    *              (image_loaders.py:131-145), vs the OSGB northing-up
+    *              flip (:276-294). */
   def scoreFragment(pp: Prepared, cellE: Int, cellN: Int, ts: Int,
-                    raster: Raster, kernels: Array[IndexKernel]): (Long, Array[Long]) = {
+                    raster: Raster, kernels: Array[IndexKernel],
+                    yDown: Boolean = false): (Long, Array[Long]) = {
     val veg = new Array[Long](kernels.length)
     val tileX0 = cellE * ts; val tileY0 = cellN * ts
     val wx0 = math.max(pp.cropX0, tileX0)
@@ -84,6 +89,7 @@ object PolyBlob {
 
     val mask: Array[Boolean] =
       if (interior) null // all true
+      else if (yDown) Rasterize.maskWindowYDown(pp.gPix, wx0, wy0, w, h)
       else Rasterize.maskWindow(pp.gPix, wx0, wy0, w, h)
 
     var npix = 0L
@@ -100,8 +106,10 @@ object PolyBlob {
     val ch = raster.channels
     var r = 0
     while (r < h) {
-      val yAbs = wy0 + h - 1 - r
-      val tileRow = ts - 1 - (yAbs - tileY0)
+      // mask row r maps to the image row: OSGB flips northings, webmerc not
+      val tileRow =
+        if (yDown) (wy0 + r) - tileY0
+        else ts - 1 - ((wy0 + h - 1 - r) - tileY0)
       val rowBase = (tileRow * ts + (wx0 - tileX0)) * ch
       val maskBase = r * w
       var c = 0

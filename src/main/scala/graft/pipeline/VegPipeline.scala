@@ -35,16 +35,31 @@ object VegPipeline {
       tileSize: Int = 256,
       kernelNames: Seq[String] = Seq("greenleaf"),
       broadcastPolys: Boolean = true,
-      handleMissingTiles: Boolean = true)
+      handleMissingTiles: Boolean = true,
+      /** Some(zoom): the web-mercator loader path (slippy "z/x/y" tiles,
+        * y-down raster, area in tile^2 units, image_loaders.py:32-158). */
+      webMercatorZoom: Option[Int] = None,
+      /** >1 and !broadcastPolys: replicate the polygon side saltFactor
+        * times and spray tiles across salts, spreading skewed (dense
+        * urban) cells over partitions in the shuffle-join path. */
+      saltFactor: Int = 1,
+      /** decoded-tile / fragment accumulators (C3 statistics). */
+      metrics: Option[PipelineMetrics] = None)
 
   import Exprs.{col => ec, expr => ee}
 
   /** Normalized gardens (id, uprn, geometry, crs) -> prepared metadata. */
-  def prepareGardens(gardens: DataFrame, tileSize: Int): DataFrame = {
+  def prepareGardens(gardens: DataFrame, tileSize: Int,
+                     webMercatorZoom: Option[Int] = None): DataFrame = {
     val withGid = gardens.withColumn("gid", monotonically_increasing_id())
+    val prepExpr = webMercatorZoom match {
+      case Some(z) => PrepareGardenWebMerc(
+        ee(col("gid")), ee(col("geometry")), ee(col("crs")), z, tileSize)
+      case None => PrepareGarden(
+        ee(col("gid")), ee(col("geometry")), ee(col("crs")), tileSize)
+    }
     withGid
-      .withColumn("prep", ec(PrepareGarden(
-        ee(col("gid")), ee(col("geometry")), ee(col("crs")), tileSize)))
+      .withColumn("prep", ec(prepExpr))
       .select(col("gid"), col("id"), col("uprn"),
         col("prep.blob").as("blob"), col("prep.cells").as("cells"),
         col("prep.cx").as("cx"), col("prep.cy").as("cy"),
@@ -58,8 +73,9 @@ object VegPipeline {
     * score any number of tile batches/streams against it. */
   final case class PolyIndex(prepared: DataFrame, cellPolys: DataFrame, tileSize: Int)
 
-  def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int): PolyIndex = {
-    val prepared = prepareGardens(gardens, tileSize)
+  def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int,
+                 webMercatorZoom: Option[Int] = None): PolyIndex = {
+    val prepared = prepareGardens(gardens, tileSize, webMercatorZoom)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cellPolys = prepared
       .select(explode(col("cells")).as("cell"), col("blob"))
@@ -72,7 +88,8 @@ object VegPipeline {
     * frac_<kernel>... */
   def run(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
           cfg: Config = Config(), cirTiles: Option[DataFrame] = None): DataFrame =
-    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize), tiles, cfg, cirTiles)
+    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize, cfg.webMercatorZoom),
+      tiles, cfg, cirTiles)
 
   def scoreAgainst(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
                    cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame = {
@@ -88,17 +105,27 @@ object VegPipeline {
 
     val prepared = index.prepared
     val cellPolys = index.cellPolys
-    val polysSide = if (cfg.broadcastPolys) broadcast(cellPolys) else cellPolys
+    val useSalt = !cfg.broadcastPolys && cfg.saltFactor > 1
+    val polysSide =
+      if (cfg.broadcastPolys) broadcast(cellPolys)
+      else if (useSalt)
+        cellPolys.withColumn("salt",
+          explode(array((0 until cfg.saltFactor).map(lit(_)): _*)))
+      else cellPolys
 
+    def keyToCell(c: Column): Column = cfg.webMercatorZoom match {
+      case Some(z) => ec(SlippyKeyToCell(ee(c), z))
+      case None => tileCell(c)
+    }
     val rgbWithCell = tiles
-      .select(tileCell(col("image_id")).as("cell"), col("bytes"))
+      .select(keyToCell(col("image_id")).as("cell"), col("bytes"))
       .where(col("cell").isNotNull)
 
     // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels
     val tilesWithCell = cirTiles match {
       case Some(cir) =>
         val cirWithCell = cir
-          .select(tileCell(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
+          .select(keyToCell(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
           .where(col("cell").isNotNull)
         rgbWithCell.join(cirWithCell, Seq("cell"), "left_outer")
       case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
@@ -106,10 +133,15 @@ object VegPipeline {
 
     val scoreCol = ec(ScoreFragments(
       ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")), ee(col("blobs")),
-      cfg.tileSize, cfg.kernelNames))
+      cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
+      metrics = cfg.metrics))
 
-    val scored = tilesWithCell
-      .join(polysSide, Seq("cell"))
+    val joinedTiles =
+      if (useSalt)
+        tilesWithCell.withColumn("salt", pmod(hash(col("bytes")), lit(cfg.saltFactor)))
+          .join(polysSide, Seq("cell", "salt"))
+      else tilesWithCell.join(polysSide, Seq("cell"))
+    val scored = joinedTiles
       .select(col("cell"), explode(scoreCol).as("s"))
       .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
 
@@ -120,7 +152,8 @@ object VegPipeline {
         val missing = cellPolys.join(present, Seq("cell"), "left_anti")
         val missingScore = ec(ScoreFragments(
           ee(col("cell")), ee(lit(null).cast("binary")), ee(lit(null).cast("binary")), ee(col("blobs")),
-          cfg.tileSize, cfg.kernelNames))
+          cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
+          metrics = cfg.metrics))
         val missingScored = missing
           .select(col("cell"), explode(missingScore).as("s"))
           .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))

@@ -182,6 +182,80 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("web-mercator pipeline (slippy z/x/y tiles, y-down) matches its mosaic oracle") {
+    import spark.implicits._
+    val zoom = 15
+    val x0 = 16150; val y0 = 10900 // arbitrary slippy region
+    def tileToLonLat(tx: Double, ty: Double): (Double, Double) = {
+      val n = (1 << zoom).toDouble
+      val lon = (tx / n - 0.5) * 360.0
+      val lat = math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * ty / n))))
+      (lon, lat)
+    }
+    // deterministic CRS84 gardens whose tile-space footprints live in a 3x3 box
+    val rnd = new scala.util.Random(5)
+    val gardenRows = (0 until 12).map { i =>
+      val cxT = x0 + 0.3 + rnd.nextDouble() * 2.4
+      val cyT = y0 + 0.3 + rnd.nextDouble() * 2.4
+      val radius = 0.05 + rnd.nextDouble() * 0.25
+      val nV = 5
+      val pts = (0 until nV).map { k =>
+        val ang = 2 * math.Pi * k / nV + rnd.nextDouble() * 0.3
+        val (lon, lat) = tileToLonLat(cxT + radius * math.cos(ang), cyT + radius * math.sin(ang))
+        Seq(lon, lat)
+      }
+      Synthetic.GardenRow(s"wm$i", Array(s"9$i"), Seq(Seq(pts :+ pts.head)), Exprs.CRS84)
+    }
+    val names = Seq("greenleaf", "hsv")
+    val kernels = names.map(Kernels.all(_)).toArray
+    val ts = 64
+    def tileFor(x: Int, y: Int): Option[graft.img.Raster] =
+      if (x < x0 || x >= x0 + 3 || y < y0 || y >= y0 + 3) None
+      else Some(Synthetic.tileRaster(x, y, ts, 42L))
+    val oracle = gardenRows.map(g => g.id -> MosaicOracle.computeWebMerc(g, zoom, ts, tileFor, kernels)).toMap
+
+    val tiles = (for (x <- x0 until x0 + 3; y <- y0 until y0 + 3) yield {
+      val r = Synthetic.tileRaster(x, y, ts, 42L)
+      Synthetic.TileRow(s"$zoom/$x/$y", graft.img.Codec.encodePNG(r), ts, ts, "png", "wm tile", 0L)
+    }).toDF()
+    val gardens = gardenRows.toDF()
+    val res = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, kernelNames = names,
+        webMercatorZoom = Some(zoom), handleMissingTiles = false)).collect()
+    assert(res.length == 12)
+    res.foreach { row =>
+      val o = oracle(row.getAs[String]("id"))
+      assert(row.getAs[Long]("npix") == o.npix, s"npix for ${row.getAs[String]("id")}")
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(row.getAs[Double](s"frac_$nm") == o.fracs(i), s"$nm for ${row.getAs[String]("id")}")
+      }
+      assert(math.abs(row.getAs[Double]("area_m2") - o.areaM2) < 1e-12) // tile² units
+    }
+    val withPix = res.filter(_.getAs[Long]("npix") > 100)
+    assert(withPix.nonEmpty && withPix.exists(r => r.getAs[Double]("frac_greenleaf") > 0.1))
+  }
+
+  test("salted shuffle path and metrics accumulators") {
+    val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    val m = graft.pipeline.PipelineMetrics.create(spark)
+    val salted = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, broadcastPolys = false, saltFactor = 4,
+        handleMissingTiles = false, metrics = Some(m)))
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val plain = VegPipeline.run(spark, gardens, tiles,
+      VegPipeline.Config(tileSize = ts, handleMissingTiles = false))
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(salted.toSeq == plain.toSeq)
+    // metrics: every matched (tile, salt-bucket) decode counted; fragments > 0
+    assert(m.tilesDecoded.value > 0)
+    assert(m.fragmentsScored.value > 0)
+    assert(m.missingTileFragments.value == 0)
+    assert(m.report.contains("Tiles decoded"))
+  }
+
   test("summary and toid2uprn shapes") {
     val res = VegPipeline.run(spark,
       Synthetic.gardens(spark, 15, gridW, gridH),

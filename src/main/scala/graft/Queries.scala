@@ -498,6 +498,15 @@ object Queries {
       .orderBy("id")
   }
 
+  /** P3: the reference's seeded random-N sample with exact CPython
+    * random.seed(42)/random.sample parity (MT19937 port; rows-only here,
+    * golden-pinned in unit tests). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    graft.functions.PyRandom.seededSample(
+        s, t(s, dir, "orders").orderBy("o_orderkey"), 25, 42)
+      .select("sample_rank", "o_orderkey", "o_totalprice")
+      .orderBy("sample_rank")
+
   /** LSH-bucketed approximate nearest neighbours (scale path for q16). */
   private def q27(s: SparkSession, dir: String): DataFrame =
     graft.functions.Ann.lshTopK(t(s, dir, "embeddings"), col("vec_id") % 100 === 0, 10, 64, nPlanes = 6)
@@ -575,7 +584,8 @@ object Queries {
     "q34_veg_irgb" -> (q34 _),
     "q35_veg_nn" -> (q35 _),
     "q36_media_frames" -> (q36 _),
-    "q37_audio_features" -> (q37 _)
+    "q37_audio_features" -> (q37 _),
+    "q38_seeded_sample" -> (q38 _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -131,4 +131,93 @@ object Reports {
   def writeDistributed(perGarden: DataFrame, outDir: String): Unit =
     perGarden.drop("blob", "cells").write.mode("overwrite")
       .option("header", "true").csv(outDir)
+
+  /** S11 debug PNG sink (reference: calculate_indices.py:21-43,145-167,
+    * off by default): per selected garden, write the cropped garden
+    * image, the tinted masked-garden, the binary mask and one painted
+    * overlay per kernel. Debug-scoped: gardens are few by definition, so
+    * crops assemble on the driver from the collected covering tiles. */
+  def debugImages(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
+                  gardenIds: Seq[String], kernelNames: Seq[String],
+                  tileSize: Int, outDir: String,
+                  downsampleScale: Int = 1): Unit = {
+    import graft.geom.Rasterize
+    import graft.img.{Codec, Raster, Resize}
+    import graft.index.ZIndex
+    import graft.kernel.{Kernels, Overlay}
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    val prepared = VegPipeline.prepareGardens(gardens, tileSize)
+      .where(col("id").isin(gardenIds: _*))
+      .select("id", "blob", "cells").collect()
+    val wantedCells = prepared.flatMap(_.getSeq[Long](2)).toSet
+    val tileMap = tiles
+      .select(VegPipeline.tileCell(col("image_id")).as("cell"), col("bytes"))
+      .where(col("cell").isin(wantedCells.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+
+    prepared.foreach { row =>
+      val id = row.getString(0)
+      val pp = PolyBlob.deserialize(row.getAs[Array[Byte]](1))
+      val w = pp.cropX1 - pp.cropX0 + 1
+      val h = pp.cropY1 - pp.cropY0 + 1
+      val crop = Raster(new Array[Byte](w * h * 3), w, h, 3)
+      // assemble the crop from covering tiles (y-flip, OSGB orientation)
+      row.getSeq[Long](2).foreach { cell =>
+        tileMap.get(cell).foreach { bytes =>
+          var t = Codec.decodeBGR(bytes)
+          if (t.w != tileSize || t.h != tileSize) t = Resize.bilinear(t, tileSize, tileSize)
+          val e = ZIndex.cellE(cell); val n = ZIndex.cellN(cell)
+          val x0 = e * tileSize; val y0 = n * tileSize
+          var r = 0
+          while (r < h) {
+            val yAbs = pp.cropY0 + h - 1 - r
+            if (yAbs >= y0 && yAbs < y0 + tileSize) {
+              val tileRow = tileSize - 1 - (yAbs - y0)
+              var c = 0
+              while (c < w) {
+                val xAbs = pp.cropX0 + c
+                if (xAbs >= x0 && xAbs < x0 + tileSize) {
+                  val src = (tileRow * tileSize + (xAbs - x0)) * 3
+                  val dst = (r * w + c) * 3
+                  crop.data(dst) = t.data(src)
+                  crop.data(dst + 1) = t.data(src + 1)
+                  crop.data(dst + 2) = t.data(src + 2)
+                }
+                c += 1
+              }
+            }
+            r += 1
+          }
+        }
+      }
+      val mask = Rasterize.maskWindow(pp.gPix, pp.cropX0, pp.cropY0, w, h)
+      def down(img: Raster): Raster =
+        if (downsampleScale <= 1) img
+        else Resize.area(img, img.w / downsampleScale, img.h / downsampleScale)
+      def write(name: String, img: Raster): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/$id-$name.png"),
+          Codec.encodePNG(down(img)))
+      write("1-garden", crop)
+      // masked garden: tint outside the mask (calculate_indices.py:28-33)
+      val tinted = Overlay.tint(crop)
+      val maskedGarden = Raster(crop.data.clone(), w, h, 3)
+      var i = 0
+      while (i < w * h) {
+        if (!mask(i)) {
+          maskedGarden.data(i * 3) = tinted.data(i * 3)
+          maskedGarden.data(i * 3 + 1) = tinted.data(i * 3 + 1)
+          maskedGarden.data(i * 3 + 2) = tinted.data(i * 3 + 2)
+        }
+        i += 1
+      }
+      write("2-maskedGarden", maskedGarden)
+      val maskImg = Raster(Array.tabulate(w * h * 3)(j =>
+        if (mask(j / 3)) 255.toByte else 0.toByte), w, h, 3)
+      write("2-mask", maskImg)
+      kernelNames.foreach { kn =>
+        write(s"3-$kn", Overlay.paint(crop, Kernels.all(kn), mask))
+      }
+    }
+  }
 }

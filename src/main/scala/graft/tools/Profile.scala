@@ -65,6 +65,21 @@ object Profile {
         handleMissingTiles = false))
     time("full pipeline run 2")(
       println(res2.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf")).collect()(0)))
+    // fixed-cost isolation: same plan over a 32-tile subset
+    val idx = VegPipeline.buildIndex(spark, gardens, 256)
+    idx.cellPolys.count()
+    val tiny = tiles.limit(32)
+    val cfg = VegPipeline.Config(tileSize = 256, kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
+    (1 to 2).foreach { i =>
+      time(s"tiny scoreAgainst $i")(
+        println(VegPipeline.scoreAgainst(spark, idx, tiny, cfg)
+          .agg(count(lit(1)), sum("npix")).collect()(0)))
+    }
+    (1 to 2).foreach { i =>
+      time(s"full scoreAgainst $i")(
+        println(VegPipeline.scoreAgainst(spark, idx, tiles, cfg)
+          .agg(count(lit(1)), sum("npix")).collect()(0)))
+    }
     res2.explain("formatted")
     spark.stop()
   }

@@ -88,6 +88,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sim(s1, s3) < 0.2)
   }
 
+  test("CPython MT19937 + random.sample parity (goldens from CPython 3.11)") {
+    import graft.functions.{MT19937, PyRandom}
+    val rng = new MT19937(42)
+    assert((0 until 6).map(_ => rng.nextUInt32()) ==
+      Seq(2746317213L, 478163327L, 107420369L, 3184935163L, 1181241943L, 1051802512L))
+    assert(PyRandom.sampleIndices(42, 100, 5).toSeq == Seq(81, 14, 3, 94, 35))
+    assert(PyRandom.sampleIndices(42, 10, 10).toSeq == Seq(1, 0, 4, 9, 6, 5, 8, 2, 3, 7))
+    assert(PyRandom.sampleIndices(42, 1000, 8).toSeq == Seq(654, 114, 25, 759, 281, 250, 228, 142))
+    assert(PyRandom.sampleIndices(123456789, 50, 6).toSeq == Seq(41, 28, 34, 45, 38, 25))
+  }
+
+  test("seeded DataFrame sample selects CPython's rows in selection order") {
+    import graft.functions.PyRandom
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val got = PyRandom.seededSample(spark, df, 5, 42)
+      .orderBy("sample_rank").select("k").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(81L, 14L, 3L, 94L, 35L))
+  }
+
   // ------------------------------------------------ kNN
 
   test("kNN via cell-ring expansion matches brute force exactly") {
@@ -254,6 +274,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t2u.startsWith("feature id, feature uprn\n"))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir + "/run-testloader-greenleaf-warnings.txt")))
+  }
+
+  test("debug PNG sink writes garden/mask/overlay images (S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("dbg").toString
+    val gardens = Synthetic.gardens(spark, 10, 4, 4)
+    val tiles = Synthetic.tiles(spark, 4, 4, 64)
+    val someId = gardens.select("id").collect()(3).getString(0)
+    Reports.debugImages(spark, gardens, tiles, Seq(someId), Seq("greenleaf"), 64, dir)
+    val files = new java.io.File(dir).list().sorted
+    assert(files.contains(s"$someId-1-garden.png"))
+    assert(files.contains(s"$someId-2-maskedGarden.png"))
+    assert(files.contains(s"$someId-2-mask.png"))
+    assert(files.contains(s"$someId-3-greenleaf.png"))
+    // mask png decodes to pure black/white
+    val maskImg = graft.img.Codec.decodeBGR(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$someId-2-mask.png")))
+    assert(maskImg.data.forall(b => b == 0 || b == -1))
   }
 
   // ------------------------------------------------ ANN / media

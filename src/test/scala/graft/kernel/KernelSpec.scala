@@ -160,6 +160,35 @@ class KernelSpec extends AnyFunSuite {
     assert(Kernels.countVeg(hsvK, img, 3, maskAllFalse) == ((0L, 0L)))
   }
 
+  test("overlay painting matches apply_vegetation_index goldens (test_calculate_indices.py:35-48)") {
+    import graft.img.Raster
+    val img = Raster(buf(topLeftQuarterRed4x4), 4, 4, 3)
+    val hsvK = GreenFromHSV("t", -30, 30) // red hue=0 classifies 1
+    val green = Seq(0, 255, 0)
+    val red = Seq(0, 0, 255)
+    val blue = Seq(255, 0, 0)
+    val tintBlue = Seq(138, 138, 138) // grey(blue)=29 -> 29*2+80
+
+    // all-true mask: red pixels -> green, blue pixels -> original
+    val allTrue = Array.fill(16)(true)
+    val p1 = Overlay.paint(img, hsvK, allTrue)
+    val want1 = Seq(green, green, blue, blue, green, green, blue, blue,
+      blue, blue, blue, blue, blue, blue, blue, blue)
+    assert(p1.data.toSeq == buf(want1).toSeq)
+
+    // top-half mask: bottom half tinted grey
+    val topHalf = Array(true, true, true, true, true, true, true, true,
+      false, false, false, false, false, false, false, false)
+    val p2 = Overlay.paint(img, hsvK, topHalf)
+    val want2 = Seq(green, green, blue, blue, green, green, blue, blue,
+      tintBlue, tintBlue, tintBlue, tintBlue, tintBlue, tintBlue, tintBlue, tintBlue)
+    assert(p2.data.toSeq == buf(want2).toSeq)
+
+    // empty mask: original image returned untouched
+    val p3 = Overlay.paint(img, hsvK, Array.fill(16)(false))
+    assert(p3.data.toSeq == img.data.toSeq)
+  }
+
   test("onBlack: missing-tile classification matches zero-buffer semantics") {
     assert(AssumesGreen().onBlack == 1)
     assert(GreenLeafIndex().onBlack == 0) // 0/0 = NaN -> 0

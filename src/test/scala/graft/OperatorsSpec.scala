@@ -22,6 +22,12 @@ class OperatorsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("SparkEntry.entry driver smoke: rows > 0 with expected columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("id", "cx", "cy", "area_m2", "npix", "frac_greenleaf", "frac_hsv"))
+    assert(df.count() > 0)
+  }
+
   // ------------------------------------------------ PyFormat
 
   test("PyFormat.repr matches CPython float repr rules") {

@@ -270,6 +270,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(t2u.count() >= 15)
   }
 
+  test("lossy (jpg) tile payloads satisfy the PSNR>=40dB per-row invariant and score consistently") {
+    import spark.implicits._
+    import graft.img.{Codec, Quality}
+    // jpg-encoded tile table (input_hint allows fmt png|jpg). Content is
+    // the synthetic pattern WITHOUT per-pixel jitter: flat 8x8 blocks
+    // (smooth like real aerial imagery; the noisy variant is a DCT
+    // worst-case that no 40 dB codec setting can hit).
+    def smoothTile(e: Int, n: Int): graft.img.Raster = {
+      val base = Synthetic.tileRaster(e, n, ts, 42L)
+      val out = new Array[Byte](ts * ts * 3)
+      var row = 0
+      while (row < ts) {
+        var c = 0
+        while (c < ts) {
+          // take the block's classification from the top-left block pixel
+          val src = (((row / 8) * 8) * ts + ((c / 8) * 8)) * 3
+          val g = base.data(src + 1) & 0xff
+          val veg = g >= 160
+          val dst = (row * ts + c) * 3
+          if (veg) { out(dst) = 40; out(dst + 1) = 160.toByte; out(dst + 2) = 60 }
+          else { out(dst) = 120; out(dst + 1) = 120; out(dst + 2) = 120 }
+          c += 1
+        }
+        row += 1
+      }
+      graft.img.Raster(out, ts, ts, 3)
+    }
+    val jpgTiles = (for (e <- Synthetic.BaseE until Synthetic.BaseE + 3;
+                         n <- Synthetic.BaseN until Synthetic.BaseN + 3) yield {
+      val r = smoothTile(e, n)
+      val jpg = Quality.encodeJPEG(r, 0.92f)
+      // per-row invariant: decoded jpg vs source raster
+      assert(Quality.psnr(Codec.decodeBGR(jpg), r) >= 40.0, s"psnr for ($e,$n)")
+      Synthetic.TileRow(graft.geo.TileCode.fromEastingsNorthings(e, n), jpg, ts, ts, "jpg",
+        s"jpg tile $e $n", 0L)
+    }).toDF()
+    val pngTiles = (for (e <- Synthetic.BaseE until Synthetic.BaseE + 3;
+                         n <- Synthetic.BaseN until Synthetic.BaseN + 3) yield {
+      val r = smoothTile(e, n)
+      Synthetic.TileRow(graft.geo.TileCode.fromEastingsNorthings(e, n),
+        Codec.encodePNG(r), ts, ts, "png", s"png tile $e $n", 0L)
+    }).toDF()
+    val gardens = Synthetic.gardens(spark, 10, 3, 3)
+    val cfg = VegPipeline.Config(tileSize = ts, handleMissingTiles = false)
+    val jpgRes = VegPipeline.run(spark, gardens, jpgTiles, cfg)
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val pngRes = VegPipeline.run(spark, gardens, pngTiles, cfg)
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // same masks (npix identical); fractions within lossy tolerance
+    jpgRes.zip(pngRes).foreach { case ((id1, n1, f1), (id2, n2, f2)) =>
+      assert(id1 == id2 && n1 == n2)
+      if (n1 > 0) assert(math.abs(f1 - f2) < 0.05, s"$id1: jpg $f1 vs png $f2")
+    }
+  }
+
   test("synthetic tile table is deterministic and input_hint-shaped") {
     val t1 = Synthetic.tiles(spark, 2, 2, ts).collect().sortBy(_.getAs[String]("image_id"))
     val t2 = Synthetic.tiles(spark, 2, 2, ts).collect().sortBy(_.getAs[String]("image_id"))

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's SQL function surface via SparkSessionExtensions. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // builder().withExtensions only applies when the session is first
+    // constructed; the suite may inherit one, so also register directly.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("sql-surface-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("geo functions usable from SQL") {
+    assert(spark.sql("SELECT graft_tile_code(401, 126) AS c").collect()(0).getString(0) == "SU0126")
+    assert(spark.sql("SELECT graft_tile_code(9999, -5) AS c").collect()(0).isNullAt(0))
+    val en = spark.sql(
+      "SELECT graft_to_osgb(-2.472899455869044d, 51.430893105324593d) AS en").collect()(0)
+      .getStruct(0)
+    assert(math.abs(en.getDouble(0) - 367220.85) < 0.01)
+    assert(math.abs(en.getDouble(1) - 170316.2) < 0.01)
+    assert(spark.sql("SELECT graft_tile_cell('SU0126') AS c").collect()(0).getLong(0) ==
+      graft.index.ZIndex.cellId(401, 126))
+    assert(spark.sql("SELECT size(graft_kring(graft_point_cell(5.5d, 7.5d), 2)) AS n")
+      .collect()(0).getInt(0) == 25)
+    assert(spark.sql("SELECT graft_slippy_cell('15/100/200', 15) AS c").collect()(0).getLong(0) ==
+      graft.index.ZIndex.cellId(100, 200))
+  }
+
+  test("text functions usable from SQL") {
+    val h = spark.sql("SELECT graft_simhash64(array('spark', 'query')) AS h").collect()(0).getLong(0)
+    assert(h == graft.functions.TextHash.simHash(Seq("spark", "query")))
+    assert(spark.sql("SELECT graft_hamming64(0L, 255L) AS d").collect()(0).getInt(0) == 8)
+    val fp = spark.sql("SELECT size(graft_fingerprint('hello world, hello spark')) AS n")
+      .collect()(0).getInt(0)
+    assert(fp > 0)
+    assert(spark.sql("SELECT size(graft_minhash(array('a','b','c'), 16)) AS n")
+      .collect()(0).getInt(0) == 16)
+  }
+}

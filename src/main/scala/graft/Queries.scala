@@ -554,7 +554,7 @@ object Queries {
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
     "q03_limit_firstn" -> (q03 _),
-    "q04_sample_deterministic" -> (q04 _),
+    "q04_md5_filter" -> (q04 _),
     "q05_uprn_explode" -> (q05 _),
     "q06_spatial_sort" -> (q06 _),
     "q07_tilecode" -> (q07 _),
@@ -592,7 +592,7 @@ object Queries {
     "q01_summary_agg" -> o01,
     "q02_groupby_multi" -> o02,
     "q03_limit_firstn" -> o03,
-    "q04_sample_deterministic" -> o04,
+    "q04_md5_filter" -> o04,
     "q05_uprn_explode" -> o05,
     "q06_spatial_sort" -> o06,
     "q07_tilecode" -> o07,

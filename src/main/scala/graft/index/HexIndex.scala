@@ -65,10 +65,13 @@ final case class HexIndex(size: Double) {
 
   /** Lower bound on the distance from any point inside `cell` to any point
     * in a cell OUTSIDE kRing(cell, k) — the exactness guarantee for
-    * ring-expansion kNN. Centers at ring j are >= j*sqrt(3)*size apart;
-    * both points may be up to one circumradius from their centers. */
+    * ring-expansion kNN. The minimum center distance at hex-grid distance
+    * d is 1.5*d*size (attained along diagonal lattice directions, e.g.
+    * axial (1,1): hex distance 2, center distance 3*size — NOT the
+    * d*sqrt(3)*size of the straight axes); both points may be up to one
+    * circumradius from their centers. */
   def minDistOutsideRing(k: Int): Double =
-    math.max(0.0, (k + 1) * sqrt3 * size - 2.0 * size)
+    math.max(0.0, 1.5 * (k + 1) * size - 2.0 * size)
 }
 
 /** Pluggable grid abstraction for ring-expansion algorithms. */

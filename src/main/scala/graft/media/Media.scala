@@ -58,12 +58,18 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** PNG signature: 0x89 'P' 'N' 'G' 0x0d 0x0a 0x1a 0x0a. The 0x89 byte is
+    * outside ASCII, so the check must be on raw bytes: an ASCII decode maps
+    * it to the replacement char and a string comparison never fires. */
+  private def isPng(bytes: Array[Byte]): Boolean =
+    (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
   def magicOf(bytes: Array[Byte]): String =
     if (bytes == null || bytes.length < 8) "unsupported"
+    else if (isPng(bytes)) "image"
     else new String(bytes, 0, 8, "ASCII") match {
       case VideoMagic => "video"
       case AudioMagic => "audio"
-      case m if m.startsWith("PNG") => "image"
       case _ => "unsupported"
     }
 

@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * appends a manifest line after its partial-sum parquet commits, so a
   * crashed run resumes by anti-joining the manifest — per-partition
   * lineage, idempotent (re-running a group overwrites its own output
-  * only). The final fractions re-aggregate all partials (the same
-  * distributive algebra the mosaic-free pipeline relies on).
+  * only). Partials carry RAW LONG (gid, npix, veg_i) sums — pure long
+  * adds re-aggregate bit-exactly, never round-tripping a double — and
+  * gid is xxhash64(feature id), so partials written before a crash join
+  * correctly against an index rebuilt by a fresh session.
+  *
+  * The final fractions re-aggregate all partials plus, once, the
+  * zero-fill fragments for covered cells absent from the ENTIRE tile
+  * table (the reference's missing-tile semantics, image_loaders.py:239)
+  * — per-group runs must not each zero-fill, a cell missing from one
+  * group's bucket range is usually present in another's.
   */
 object Checkpoint {
 
@@ -51,44 +59,34 @@ object Checkpoint {
       val hi = math.min(lo + groupSize, buckets)
       val part = tilesWithBucket.where(col("bucket") >= lo && col("bucket") < hi)
         .drop("cell0", "bucket")
-      val scored = VegPipeline.scoreAgainst(spark, index, part,
-        cfg.copy(handleMissingTiles = false))
-      val nK = cfg.kernelNames.length
-      scored.select(
-        Seq(col("gid"), col("npix")) ++
-          cfg.kernelNames.zipWithIndex.map { case (nm, i) =>
-            // recover exact integer veg counts (frac = veg/npix was one
-            // rounded divide; round() restores the integer exactly)
-            round(col(s"frac_$nm") * col("npix")).cast("long").as(s"veg_$i")
-          }: _*)
+      VegPipeline.fragmentSums(spark, index, part,
+          cfg.copy(handleMissingTiles = false))
         .write.mode("overwrite").parquet(s"$outDir/group=$g")
       // commit marker AFTER the data is durably written
       Files.writeString(manifestPath(outDir), s"$g\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      val _ = nK
     }
     toRun.size
   }
 
-  /** Final per-garden fractions across all committed groups. The missing-
-    * tile fragments (cells with polygons but no tile anywhere in the
-    * table) are handled here, once, against the full covered-cell set. */
-  def fractions(spark: SparkSession, index: VegPipeline.PolyIndex,
+  /** Final per-garden fractions across all committed groups, plus the
+    * once-only missing-tile zero-fill pass against the full tile table
+    * (`tiles` must be the same table the groups partitioned). */
+  def fractions(spark: SparkSession, index: VegPipeline.PolyIndex, tiles: DataFrame,
                 cfg: VegPipeline.Config, outDir: String): DataFrame = {
     val nK = cfg.kernelNames.length
     val partials = spark.read.parquet(s"$outDir/group=*")
-    val agg = partials.groupBy("gid").agg(
+    val withMissing =
+      if (cfg.handleMissingTiles)
+        partials.unionByName(
+          VegPipeline.missingTileSums(tiles, index, cfg)
+            .select(Seq(col("gid"), col("npix")) ++
+              (0 until nK).map(i => col("veg")(i).as(s"veg_$i")): _*))
+      else partials
+    val agg = withMissing.groupBy("gid").agg(
       sum("npix").as("npix"),
       (0 until nK).map(i => sum(col(s"veg_$i")).as(s"veg_$i")): _*)
-    val meta = index.prepared.select("gid", "id", "uprn", "cx", "cy", "area_m2", "sort_key")
-    val joined = meta.join(agg, Seq("gid"), "left_outer")
-    val fracCols = cfg.kernelNames.zipWithIndex.map { case (name, i) =>
-      when(col("npix").isNull || col("npix") === 0L, lit(0.0))
-        .otherwise(col(s"veg_$i") / col("npix").cast("double"))
-        .as(s"frac_$name")
-    }
-    joined.select(
-      Seq(col("gid"), col("id"), col("cx"), col("cy"), col("area_m2"),
-        coalesce(col("npix"), lit(0L)).as("npix")) ++ fracCols: _*)
+    VegPipeline.fractionsFromSums(index, agg, cfg)
+      .drop("uprn", "sort_key")
   }
 }

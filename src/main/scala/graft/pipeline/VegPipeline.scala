@@ -43,15 +43,33 @@ object VegPipeline {
         * times and spray tiles across salts, spreading skewed (dense
         * urban) cells over partitions in the shuffle-join path. */
       saltFactor: Int = 1,
+      /** Push the polygon set's covering range into the tile scan as an
+        * image_id predicate (the reference never reads a tile outside the
+        * covering range, image_loaders.py:266-269). Canonical-id IN set
+        * for small extents, min/max range otherwise — both reach the
+        * parquet reader as PushedFilters. */
+      pruneTileScan: Boolean = true,
+      /** Covering-cell count above which pruning falls back from an exact
+        * IN set to a sound min/max image_id range. */
+      pruneInSetMax: Int = 200000,
       /** decoded-tile / fragment accumulators (C3 statistics). */
       metrics: Option[PipelineMetrics] = None)
 
   import Exprs.{col => ec, expr => ee}
 
-  /** Normalized gardens (id, uprn, geometry, crs) -> prepared metadata. */
+  /** Normalized gardens (id, uprn, geometry, crs) -> prepared metadata.
+    *
+    * gid is xxhash64(id): deterministic under partition recomputation,
+    * executor loss and session restart (monotonically_increasing_id is
+    * none of those — a recomputed partition can renumber rows, silently
+    * mis-joining fragment sums onto the wrong garden, and checkpoint
+    * partials written by a crashed run would not survive a resume).
+    * Requires unique feature ids (the reference keys its outputs by
+    * feature id too, analyse_polygons.py:157-165); 64-bit collision odds
+    * at 10^6 features are ~3e-8. */
   def prepareGardens(gardens: DataFrame, tileSize: Int,
                      webMercatorZoom: Option[Int] = None): DataFrame = {
-    val withGid = gardens.withColumn("gid", monotonically_increasing_id())
+    val withGid = gardens.withColumn("gid", xxhash64(col("id")))
     val prepExpr = webMercatorZoom match {
       case Some(z) => PrepareGardenWebMerc(
         ee(col("gid")), ee(col("geometry")), ee(col("crs")), z, tileSize)
@@ -92,6 +110,60 @@ object VegPipeline {
       tiles, cfg, cirTiles)
 
   def scoreAgainst(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
+                   cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame =
+    fractionsFromSums(index, fragmentSums(spark, index, tiles, cfg, cirTiles), cfg)
+
+  private def keyToCell(cfg: Config)(c: Column): Column = cfg.webMercatorZoom match {
+    case Some(z) => ec(SlippyKeyToCell(ee(c), z))
+    case None => tileCell(c)
+  }
+
+  /** Canonical image_id of a packed cell, as a Column over `cell` —
+    * the exact inverse of [[keyToCell]] for well-formed ids (the
+    * reference only ever reads canonically-named tiles: it builds file
+    * paths FROM coordinates, image_loaders.py:229-233, 266-269). */
+  private def cellToImageId(cfg: Config): Column = cfg.webMercatorZoom match {
+    case Some(z) =>
+      concat(lit(s"$z/"), shiftright(col("cell"), 31).cast("long"),
+        lit("/"), (col("cell").bitwiseAND(lit(0x7fffffffL))).cast("long"))
+    case None =>
+      ec(CellToTileCode(
+        ee(shiftright(col("cell"), 31).cast("int")),
+        ee(col("cell").bitwiseAND(lit(0x7fffffffL)).cast("int"))))
+  }
+
+  /** Covering-range scan pruning: a parquet-pushable predicate on
+    * image_id derived from the polygon set's covering cells. Exact IN
+    * set of canonical ids when the extent is small (the reference's
+    * covering-range read, image_loaders.py:266-269); sound min/max id
+    * range (row-group pruning via parquet stats) when it is not. None
+    * when the polygon set covers nothing. */
+  def tileIdPredicate(index: PolyIndex, cfg: Config): Option[Column] = {
+    val ids = index.cellPolys.select(cellToImageId(cfg).as("tid"))
+      .where(col("tid").isNotNull)
+    val n = ids.count()
+    if (n == 0) Some(lit(false))
+    else if (n <= cfg.pruneInSetMax)
+      Some(col("image_id").isInCollection(ids.collect().map(_.getString(0))))
+    else {
+      val r = ids.agg(min("tid").as("lo"), max("tid").as("hi")).head()
+      Some(col("image_id") >= r.getString(0) && col("image_id") <= r.getString(1))
+    }
+  }
+
+  /** The distributive core: per-garden raw long sums
+    * (gid, npix, veg_0..veg_{nK-1}) of all fragment scores. This is the
+    * unit Checkpoint groups and streaming batches persist — re-aggregating
+    * any partition of the tile table and summing is bit-exact (pure long
+    * adds), so partials never round-trip through a double.
+    *
+    * `handleMissingTiles` adds the reference's zero-fill fragments
+    * (image_loaders.py:239): cells covered by polygons but absent from
+    * the tile table score against a null raster (onBlack classification,
+    * full npix denominator). The present-cell set comes from a second,
+    * image_id-column-only pass over the tile table — parquet column
+    * pruning makes that a ~0.01% re-read, no fragment persist needed. */
+  def fragmentSums(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
                    cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame = {
     val nK = cfg.kernelNames.length
     require(nK > 0, "at least one index kernel required")
@@ -103,7 +175,6 @@ object VegPipeline {
     require(fmts.head != "IRGB" || cirTiles.nonEmpty,
       "IRGB kernels need the CIR tile table for Ir fusion (S3)")
 
-    val prepared = index.prepared
     val cellPolys = index.cellPolys
     val useSalt = !cfg.broadcastPolys && cfg.saltFactor > 1
     val polysSide =
@@ -113,19 +184,21 @@ object VegPipeline {
           explode(array((0 until cfg.saltFactor).map(lit(_)): _*)))
       else cellPolys
 
-    def keyToCell(c: Column): Column = cfg.webMercatorZoom match {
-      case Some(z) => ec(SlippyKeyToCell(ee(c), z))
-      case None => tileCell(c)
-    }
-    val rgbWithCell = tiles
-      .select(keyToCell(col("image_id")).as("cell"), col("bytes"))
+    val prune: DataFrame => DataFrame =
+      if (cfg.pruneTileScan) {
+        val pred = tileIdPredicate(index, cfg)
+        df => pred.fold(df)(df.where)
+      } else identity
+    val prunedTiles = prune(tiles)
+    val rgbWithCell = prunedTiles
+      .select(keyToCell(cfg)(col("image_id")).as("cell"), col("image_id"), col("bytes"))
       .where(col("cell").isNotNull)
 
     // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels
     val tilesWithCell = cirTiles match {
       case Some(cir) =>
-        val cirWithCell = cir
-          .select(keyToCell(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
+        val cirWithCell = prune(cir)
+          .select(keyToCell(cfg)(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
           .where(col("cell").isNotNull)
         rgbWithCell.join(cirWithCell, Seq("cell"), "left_outer")
       case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
@@ -138,35 +211,55 @@ object VegPipeline {
 
     val joinedTiles =
       if (useSalt)
-        tilesWithCell.withColumn("salt", pmod(hash(col("bytes")), lit(cfg.saltFactor)))
+        // salt from the (short) image_id, not the ~100 KB image bytes —
+        // any well-spread per-tile value works, hashing bytes is pure waste
+        tilesWithCell.withColumn("salt", pmod(hash(col("image_id")), lit(cfg.saltFactor)))
           .join(polysSide, Seq("cell", "salt"))
       else tilesWithCell.join(polysSide, Seq("cell"))
     val scored = joinedTiles
-      .select(col("cell"), explode(scoreCol).as("s"))
-      .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+      .select(explode(scoreCol).as("s"))
+      .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
 
     val frags =
-      if (cfg.handleMissingTiles) {
-        val sc = scored.persist(StorageLevel.MEMORY_AND_DISK)
-        val present = sc.select("cell").distinct()
-        val missing = cellPolys.join(present, Seq("cell"), "left_anti")
-        val missingScore = ec(ScoreFragments(
-          ee(col("cell")), ee(lit(null).cast("binary")), ee(lit(null).cast("binary")), ee(col("blobs")),
-          cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
-          metrics = cfg.metrics))
-        val missingScored = missing
-          .select(col("cell"), explode(missingScore).as("s"))
-          .select(col("cell"), col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
-        sc.union(missingScored)
-      } else scored
+      if (cfg.handleMissingTiles)
+        scored.union(missingTileSums(prunedTiles, index, cfg))
+      else scored
 
     val vegSums = (0 until nK).map(i => sum(col("veg")(i)).as(s"veg_$i"))
-    val agg = frags.groupBy("gid")
-      .agg(sum(col("npix")).as("npix"), vegSums: _*)
+    frags.groupBy("gid").agg(sum(col("npix")).as("npix"), vegSums: _*)
+  }
 
-    val meta = prepared.select("gid", "id", "uprn", "cx", "cy", "area_m2", "sort_key")
-    val joined = meta.join(agg, Seq("gid"), "left_outer")
+  /** Distinct cells present in a tile table — an image_id-column-only
+    * scan (parquet column pruning skips the bytes entirely). */
+  def presentCells(tiles: DataFrame, cfg: Config): DataFrame =
+    tiles.select(keyToCell(cfg)(col("image_id")).as("cell"))
+      .where(col("cell").isNotNull)
+      .distinct()
 
+  /** Zero-fill fragment scores for covered cells absent from the tile
+    * table (null raster -> onBlack classification). Returns unaggregated
+    * (gid, npix, veg) rows. The tile scan here reads ONLY image_id. */
+  def missingTileSums(tiles: DataFrame, index: PolyIndex, cfg: Config): DataFrame =
+    missingSumsFromPresent(presentCells(tiles, cfg), index, cfg)
+
+  /** As [[missingTileSums]] but from an already-computed present-cell
+    * frame (the streaming path accumulates per-batch cell sets). */
+  def missingSumsFromPresent(present: DataFrame, index: PolyIndex, cfg: Config): DataFrame = {
+    val missing = index.cellPolys.join(present, Seq("cell"), "left_anti")
+    val missingScore = ec(ScoreFragments(
+      ee(col("cell")), ee(lit(null).cast("binary")), ee(lit(null).cast("binary")), ee(col("blobs")),
+      cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
+      metrics = cfg.metrics))
+    missing
+      .select(explode(missingScore).as("s"))
+      .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+  }
+
+  /** Garden metadata ⋈ raw sums -> the per-garden result frame
+    * (gid, id, uprn, cx, cy, area_m2, sort_key, npix, frac_<kernel>...). */
+  def fractionsFromSums(index: PolyIndex, sums: DataFrame, cfg: Config): DataFrame = {
+    val meta = index.prepared.select("gid", "id", "uprn", "cx", "cy", "area_m2", "sort_key")
+    val joined = meta.join(sums, Seq("gid"), "left_outer")
     val fracCols = cfg.kernelNames.zipWithIndex.map { case (name, i) =>
       when(col("npix").isNull || col("npix") === 0L, lit(0.0))
         .otherwise(col(s"veg_$i").cast("double") / col("npix").cast("double"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Exprs, ScoreFragments, VegPipeline}
+import graft.pipeline.VegPipeline
 
 /** Structured-Streaming surface. The reference is batch-only (its
   * work-queue is the closest analogue, scripts/bulk_analyse.py) — the
@@ -14,61 +14,56 @@ object Streams {
 
   /** Incremental tile scoring: tiles arriving in a parquet directory are
     * scored against the (static) prepared garden index per micro-batch;
-    * per-batch partial (gid, npix, veg) parquet is written idempotently by
-    * batch id. Final fractions = re-aggregate over all batch outputs —
-    * the same algebra that makes the batch pipeline mosaic-free makes the
-    * streaming pipeline incremental. */
+    * per-batch raw-long (gid, npix, veg_i) partials — plus the batch's
+    * distinct cell set — are written idempotently by batch id. Final
+    * fractions = re-aggregate over all batch outputs — the same
+    * distributive algebra that makes the batch pipeline mosaic-free makes
+    * the streaming pipeline incremental. */
   def startTileScoring(spark: SparkSession, tilesDir: String, tileSchemaSource: DataFrame,
                        gardens: DataFrame, cfg: VegPipeline.Config, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import Exprs.{col => ec, expr => ee}
-    val prepared = VegPipeline.prepareGardens(gardens, cfg.tileSize)
-    val cellPolys = prepared
-      .select(explode(col("cells")).as("cell"), col("blob"))
-      .groupBy("cell").agg(collect_list("blob").as("blobs"))
-    val cellPolysB = broadcast(cellPolys)
+    val index = VegPipeline.buildIndex(spark, gardens, cfg.tileSize, cfg.webMercatorZoom)
+    // per-batch pruning would re-derive the covering predicate each
+    // micro-batch for no scan benefit (batches are already small)
+    val batchCfg = cfg.copy(handleMissingTiles = false, pruneTileScan = false)
 
     val stream = spark.readStream.schema(tileSchemaSource.schema).parquet(tilesDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val scoreCol = ec(ScoreFragments(
-          ee(col("cell")), ee(col("bytes")), ee(lit(null).cast("binary")), ee(col("blobs")),
-          cfg.tileSize, cfg.kernelNames))
-        batch
-          .select(VegPipeline.tileCell(col("image_id")).as("cell"), col("bytes"))
-          .where(col("cell").isNotNull)
-          .join(cellPolysB, Seq("cell"))
-          .select(explode(scoreCol).as("s"))
-          .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
-          .groupBy("gid").agg(sum("npix").as("npix"),
-            (cfg.kernelNames.indices.map(i => sum(col("veg")(i)).as(s"veg_$i"))): _*)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId") // idempotent per batch
+        // idempotent per batch: overwrite both artifacts by batch id
+        VegPipeline.fragmentSums(spark, index, batch, batchCfg)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        VegPipeline.presentCells(batch, batchCfg)
+          .write.mode("overwrite").parquet(s"$outDir/cells/batch=$batchId")
         ()
       }
       .start()
   }
 
-  /** Final per-garden fractions from the accumulated streaming partials. */
+  /** Final per-garden fractions from the accumulated streaming partials.
+    * With cfg.handleMissingTiles (the batch default), covered cells never
+    * seen in ANY batch get the reference's zero-fill fragments here, once
+    * — same semantics as the batch path with handleMissingTiles=true. */
   def fractionsFromPartials(spark: SparkSession, outDir: String, gardens: DataFrame,
                             cfg: VegPipeline.Config): DataFrame = {
-    val partials = spark.read.parquet(s"$outDir/batch=*")
+    val index = VegPipeline.buildIndex(spark, gardens, cfg.tileSize, cfg.webMercatorZoom)
     val nK = cfg.kernelNames.length
-    val agg = partials.groupBy("gid").agg(
+    val partials = spark.read.parquet(s"$outDir/batch=*")
+    val withMissing =
+      if (cfg.handleMissingTiles)
+        partials.unionByName(
+          VegPipeline.missingSumsFromPresent(
+              spark.read.parquet(s"$outDir/cells/batch=*").distinct(), index, cfg)
+            .select(Seq(col("gid"), col("npix")) ++
+              (0 until nK).map(i => col("veg")(i).as(s"veg_$i")): _*))
+      else partials
+    val agg = withMissing.groupBy("gid").agg(
       sum("npix").as("npix"),
       (0 until nK).map(i => sum(col(s"veg_$i")).as(s"veg_$i")): _*)
-    val meta = VegPipeline.prepareGardens(gardens, cfg.tileSize)
-      .select("gid", "id", "uprn", "cx", "cy", "area_m2", "sort_key")
-    val joined = meta.join(agg, Seq("gid"), "left_outer")
-    val fracCols = cfg.kernelNames.zipWithIndex.map { case (name, i) =>
-      when(col("npix").isNull || col("npix") === 0L, lit(0.0))
-        .otherwise(col(s"veg_$i").cast("double") / col("npix").cast("double"))
-        .as(s"frac_$name")
-    }
-    joined.select(
-      Seq(col("gid"), col("id"), col("cx"), col("cy"), col("area_m2"),
-        coalesce(col("npix"), lit(0L)).as("npix")) ++ fracCols: _*)
+    VegPipeline.fractionsFromSums(index, agg, cfg)
+      .drop("uprn", "sort_key")
   }
 
   /** Windowed streaming aggregation over an event stream (hourly windows,

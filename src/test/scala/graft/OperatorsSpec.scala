@@ -175,6 +175,24 @@ class OperatorsSpec extends AnyFunSuite {
       val (cx, cy) = hex.center(hex.cellOf(x, y))
       assert(math.hypot(x - cx, y - cy) <= 1.0 + 1e-9)
     }
+    // ring-exit lower bound: for every cell at hex distance k+1..k+3, the
+    // center distance minus two circumradii must be >= minDistOutsideRing(k).
+    // The tight case is the diagonal direction — axial (1,1) is hex
+    // distance 2 at center distance 3*size, closer than the straight-axis
+    // 2*sqrt(3)*size.
+    val (dx, dy) = hex.center(hex.pack(1, 1))
+    assert(math.abs(math.hypot(dx, dy) - 3.0) < 1e-12)
+    for (k <- 0 to 3) {
+      val ringK = hex.kRing(hex.pack(0, 0), k).toSet
+      val beyond = hex.kRing(hex.pack(0, 0), k + 3).filterNot(ringK)
+      // center distance minus two circumradii, clamped at 0 (adjacent
+      // hexes share an edge, so the true minimum point distance is >= 0)
+      val minPointDist = beyond.map { c =>
+        val (x, y) = hex.center(c); math.max(0.0, math.hypot(x, y) - 2.0)
+      }.min
+      assert(hex.minDistOutsideRing(k) <= minPointDist + 1e-12,
+        s"bound k=$k overstates: ${hex.minDistOutsideRing(k)} > $minPointDist")
+    }
   }
 
   // ------------------------------------------------ coverage
@@ -331,6 +349,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) <= k))
   }
 
+  test("media probe classifies a real PNG payload as an image") {
+    import graft.media._
+    // regression: the PNG signature starts with 0x89, which an ASCII
+    // string decode mangles — the probe must test raw bytes
+    val png = graft.img.Codec.encodePNG(Synthetic.tileRaster(400, 100, 16, 42L))
+    assert(MediaCodec.magicOf(png) == "image")
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import spark.implicits._
+    val probed = Seq(Tuple1(png)).toDF("bytes")
+      .select(ec(ProbeMedia(ee(col("bytes")))).as("meta"))
+      .select("meta.kind").head.getString(0)
+    assert(probed == "image")
+    assert(MediaCodec.magicOf("notapngno".getBytes("ASCII")) == "unsupported")
+  }
+
   test("media: video container probe/sample/features/resize round-trip") {
     import graft.media._
     val row = SyntheticMedia.makeVideo(7L, nFrames = 6, w = 16, h = 16, seed = 42L)
@@ -375,16 +408,20 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ------------------------------------------------ streaming
 
-  test("streaming tile scoring equals the batch pipeline") {
+  test("streaming tile scoring equals the batch pipeline (incl. missing-tile zero-fill)") {
     val ts = 64
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
     val tilesDir = s"$dir/tiles"
     val outDir = s"$dir/out"
-    // two arrival waves of tiles
+    // tile table WITH HOLES: two cells never arrive in any batch, so the
+    // zero-fill pass must supply their fragments (reference missing-tile
+    // semantics) — this is what distinguishes handleMissingTiles=true
     val all = Synthetic.tiles(spark, 4, 4, ts)
+      .where(!col("image_id").isin("SU0101", "SU0302"))
     all.where(col("image_id") < lit("SU0202")).write.parquet(tilesDir)
     val gardens = Synthetic.gardens(spark, 15, 4, 4)
     val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf"))
+    assert(cfg.handleMissingTiles, "test must exercise the batch default")
 
     val q = Streams.startTileScoring(spark, tilesDir, all, gardens, cfg, outDir)
     q.processAllAvailable()
@@ -395,8 +432,7 @@ class OperatorsSpec extends AnyFunSuite {
     val streamed = Streams.fractionsFromPartials(spark, outDir, gardens, cfg)
       .select("id", "npix", "frac_greenleaf").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    val batch = VegPipeline.run(spark, gardens, all,
-      cfg.copy(handleMissingTiles = false))
+    val batch = VegPipeline.run(spark, gardens, all, cfg)
       .select("id", "npix", "frac_greenleaf").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(streamed.toSeq == batch.toSeq)
@@ -406,8 +442,12 @@ class OperatorsSpec extends AnyFunSuite {
     val ts = 64
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val gardens = Synthetic.gardens(spark, 20, 4, 4)
+    // holes in the tile table: the final fractions() pass must zero-fill
+    // cells absent from the WHOLE table, exactly once across all groups
     val tiles = Synthetic.tiles(spark, 4, 4, ts)
+      .where(!col("image_id").isin("SU0200", "SU0103"))
     val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf", "hsv"))
+    assert(cfg.handleMissingTiles, "test must exercise the batch default")
     val idx = VegPipeline.buildIndex(spark, gardens, ts)
 
     // simulate a crash after 2 of 4 groups
@@ -423,10 +463,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.pipeline.Checkpoint.runGroups(spark, idx, tiles, cfg, dir,
       buckets = 16, groupSize = 4) == 0)
 
-    val resumed = graft.pipeline.Checkpoint.fractions(spark, idx, cfg, dir)
+    val resumed = graft.pipeline.Checkpoint.fractions(spark, idx, tiles, cfg, dir)
       .select("id", "npix", "frac_greenleaf", "frac_hsv").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
-    val batch = VegPipeline.run(spark, gardens, tiles, cfg.copy(handleMissingTiles = false))
+    val batch = VegPipeline.run(spark, gardens, tiles, cfg)
       .select("id", "npix", "frac_greenleaf", "frac_hsv").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
     assert(resumed.toSeq == batch.toSeq)

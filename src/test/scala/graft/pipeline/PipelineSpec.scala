@@ -111,6 +111,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("covering-range pruning reaches the parquet scan and preserves results") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/tiles"
+    Synthetic.tiles(spark, gridW, gridH, ts).write.parquet(dir)
+    val tiles = spark.read.parquet(dir)
+    // gardens clustered in a 2x2 sub-extent of the 6x6 tile grid
+    val gardens = Synthetic.gardens(spark, 10, 2, 2)
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+    val cfgOn = VegPipeline.Config(tileSize = ts)
+    val cfgOff = cfgOn.copy(pruneTileScan = false)
+
+    def rows(cfg: VegPipeline.Config) =
+      VegPipeline.scoreAgainst(spark, idx, tiles, cfg)
+        .select("id", "npix", "frac_greenleaf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows(cfgOn) == rows(cfgOff))
+
+    // the predicate is an exact canonical-id IN set for this small extent,
+    // and it reaches the parquet scan as a pushed filter on image_id
+    val pred = VegPipeline.tileIdPredicate(idx, cfgOn).get
+    val nCovering = idx.cellPolys.count()
+    assert(tiles.where(pred).count() == nCovering) // subset scanned, not 36
+    assert(nCovering < gridW.toLong * gridH)
+    val plan = tiles.where(pred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("image_id"),
+      s"expected pushed image_id filter in:\n$plan")
+
+    // range fallback (covering set larger than pruneInSetMax) is a sound superset
+    val rangeCfg = cfgOn.copy(pruneInSetMax = 1)
+    assert(rows(rangeCfg) == rows(cfgOff))
+    val rangePred = VegPipeline.tileIdPredicate(idx, rangeCfg).get
+    val nRange = tiles.where(rangePred).count()
+    assert(nRange >= nCovering && nRange < gridW.toLong * gridH)
+  }
+
   test("shuffle-join path (broadcastPolys=false) produces identical results") {
     val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
     val tiles = Synthetic.tiles(spark, gridW, gridH, ts)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Synthetic
-import graft.functions.{Fingerprint, Hamming64, MinHashSig, SimHash64}
+import graft.functions.{Fingerprint, MinHashSig, SimHash64}
 import graft.pipeline.{CellToTileCode, Exprs, KnnJoin, VegPipeline}
 
 /** The operator surface of the engine, one entry per SURVEY.md §2 operator
@@ -397,18 +397,13 @@ object Queries {
         hash(col("fingerprints")).as("fp_hash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup candidate groups (Hamming-bucketed). */
+  /** SimHash near-dup pairs via 4x16-bit multi-band candidates (exact
+    * recall for hamming <= 3 by pigeonhole, graceful above; see
+    * [[graft.functions.NearDup.bandedSelfJoin]]). */
   private def q24(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(col("doc_id"),
       Exprs.col(SimHash64(Exprs.expr(split(lower(col("text")), "\\s+")))).as("simhash"))
-    // band on the top 16 bits to form candidate buckets, then exact hamming
-    val banded = sh.withColumn("band", shiftrightunsigned(col("simhash"), 48))
-    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"), col("band"))
-    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"), col("band"))
-    a.join(b, Seq("band")).where(col("a_id") < col("b_id"))
-      .withColumn("hamming", Exprs.col(Hamming64(Exprs.expr(col("a_sh")), Exprs.expr(col("b_sh")))))
-      .where(col("hamming") <= 16)
-      .select("a_id", "b_id", "hamming")
+    graft.functions.NearDup.bandedSelfJoin(sh, "doc_id", "simhash", bandBits = 16, maxHamming = 16)
       .orderBy("a_id", "b_id")
   }
 
@@ -429,15 +424,18 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
-  /** Image near-dup candidates: perceptual-hash hamming over the tile table. */
+  /** Image near-dup pairs: perceptual-hash banding (8x8-bit bands ->
+    * bucket join -> exact hamming refine; recall is EXACT for the
+    * hamming<=7 radius because 7 < 8 bands). The input unions a
+    * deterministic 1-bit-perturbed copy of each tile so true near-dup
+    * pairs exist at any scale factor. No crossJoin anywhere in the plan. */
   private def q26(s: SparkSession, dir: String): DataFrame = {
     val (gw, gh, _) = syntheticScale(dir)
-    val tiles = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
-    val a = tiles.select(col("image_id").as("a_id"), col("phash").as("a_ph"))
-    val b = tiles.select(col("image_id").as("b_id"), col("phash").as("b_ph"))
-    a.crossJoin(b).where(col("a_id") < col("b_id"))
-      .withColumn("hamming", Exprs.col(Hamming64(Exprs.expr(col("a_ph")), Exprs.expr(col("b_ph")))))
-      .where(col("hamming") <= 24)
+    val base = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
+    val dups = base.select(concat(col("image_id"), lit("~d")).as("image_id"),
+      col("phash").bitwiseXOR(lit(1L << 21)).as("phash"))
+    graft.functions.NearDup.bandedSelfJoin(base.unionAll(dups),
+        "image_id", "phash", bandBits = 8, maxHamming = 7)
       .orderBy("a_id", "b_id")
   }
 
@@ -507,9 +505,12 @@ object Queries {
       .select("sample_rank", "o_orderkey", "o_totalprice")
       .orderBy("sample_rank")
 
-  /** LSH-bucketed approximate nearest neighbours (scale path for q16). */
+  /** Multi-table LSH approximate nearest neighbours (scale path for q16):
+    * 16-bit buckets keep per-bucket candidates ~N/65k at any N; 8 tables
+    * + 1-bit probes carry recall. */
   private def q27(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Ann.lshTopK(t(s, dir, "embeddings"), col("vec_id") % 100 === 0, 10, 64, nPlanes = 6)
+    graft.functions.Ann.lshTopK(t(s, dir, "embeddings"), col("vec_id") % 100 === 0, 10, 64,
+        nPlanes = 16, nTables = 8)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
 

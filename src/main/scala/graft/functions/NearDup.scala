@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Exprs
+
+/** Scale-safe near-duplicate candidate generation for 64-bit content
+  * hashes (simhash, phash): banding + bucket equi-join, never an
+  * all-pairs product. */
+object NearDup {
+
+  /** Banded-hash near-dup self-join: the hash is split into
+    * ceil(64/bandBits) bands; rows sharing ANY band become a candidate
+    * pair; an exact hamming refine keeps pairs <= maxHamming apart.
+    *
+    * Recall is EXACT when maxHamming < nBands: a pair differing in at
+    * most nBands-1 bits leaves at least one band untouched (pigeonhole),
+    * so it lands in a shared bucket. Above that it degrades gracefully
+    * (pairs spreading their differing bits across every band are missed).
+    *
+    * The plan is a plain (band, bucket) equi-join — shuffle-partitionable
+    * and skew-handleable like any key — so it scales where a crossJoin
+    * cannot. Output: (a_id, b_id, hamming), a_id < b_id, deduplicated
+    * across bands. */
+  def bandedSelfJoin(df: DataFrame, idCol: String, hashCol: String,
+                     bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32, s"bandBits $bandBits out of range")
+    val nBands = (64 + bandBits - 1) / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(col(idCol).as("a_id"), col(hashCol).as("a_h"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val other = banded.select(col("a_id").as("b_id"), col("a_h").as("b_h"),
+      col("band"), col("bucket"))
+    banded.join(other, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").distinct()
+      .withColumn("hamming",
+        Exprs.col(Hamming64(Exprs.expr(col("a_h")), Exprs.expr(col("b_h")))))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

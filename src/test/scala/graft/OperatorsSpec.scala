@@ -339,14 +339,40 @@ class OperatorsSpec extends AnyFunSuite {
     val k = 10
     val exact = graft.functions.Ann.bruteForceTopK(emb, c("vec_id") % 40 === 0, k)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim, nPlanes = 6)
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.8, s"recall $recall")
+    def recallOf(nPlanes: Int, nTables: Int): Double = {
+      val approx = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim,
+          nPlanes = nPlanes, nTables = nTables)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    // small single-table config (dense buckets)
+    assert(recallOf(6, 1) > 0.8, s"recall(6,1) = ${recallOf(6, 1)}")
+    // the scale config (q27): 16-bit sparse buckets, recall carried by
+    // 8 independent tables + 1-bit probes
+    assert(recallOf(16, 8) >= 0.9, s"recall(16,8) = ${recallOf(16, 8)}")
     // at most k per query (approximate path returns a proper top-k)
-    val counts = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim, nPlanes = 6)
+    val counts = graft.functions.Ann.lshTopK(emb, c("vec_id") % 40 === 0, k, dim,
+        nPlanes = 16, nTables = 8)
       .groupBy("query_id").count().collect()
     assert(counts.forall(_.getLong(1) <= k))
+  }
+
+  test("banded hamming self-join finds exactly the brute-force pairs within radius < nBands") {
+    import spark.implicits._
+    // deterministic hashes with planted near-dups: flip 1..6 bits of a base
+    val base = (0 until 40).map(i => Synthetic.mix(i.toLong))
+    val rows = base.zipWithIndex.flatMap { case (h, i) =>
+      val flips = (1 to (i % 4)).foldLeft(h)((acc, b) => acc ^ (1L << ((i * 7 + b * 11) % 64)))
+      Seq((i.toLong * 2, h), (i.toLong * 2 + 1, flips))
+    }
+    val df = rows.toDF("id", "h")
+    val got = graft.functions.NearDup.bandedSelfJoin(df, "id", "h", bandBits = 8, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
   }
 
   test("media probe classifies a real PNG payload as an image") {

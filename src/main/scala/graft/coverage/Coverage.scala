@@ -50,7 +50,14 @@ object Coverage {
 
   /** Thumbnail mode: per-tile INTER_AREA resize to tsz², assembled on the
     * UK grid with vertical flip. Coverage mode: white tile per present
-    * tile. (generate_coverage.py:67-110, 36-64, 288-388) */
+    * tile. (generate_coverage.py:67-110, 36-64, 288-388)
+    *
+    * Scale shape: the decode + resize runs distributed ONCE (persisted
+    * thumbs are tsz²*3 bytes/row); counters and the corrupt/odd-name code
+    * lists aggregate distributedly, and only (code, thumb) rows reach the
+    * driver — bounded by the OS grid (<= 1.04M tiles * 192 B at tsz=8),
+    * like the reference's bounded output raster, NOT by the input table's
+    * row count times its image bytes. */
   def thumbnailMap(spark: SparkSession, tiles: DataFrame, tsz: Int,
                    coverageOnly: Boolean = false): Result = {
     require(tsz <= 16, "summary raster is bounded by design; tsz>16 would not be")
@@ -70,22 +77,28 @@ object Coverage {
             case _: Exception => (code, null: Array[Byte], 0L, true) // corrupted
           }
         }
-      }.collect()
+      }.toDF("code", "thumb", "px", "valid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val w = 7 * 100 * tsz
-    val h = 13 * 100 * tsz
-    val raster = Raster(new Array[Byte](w * h * 3), w, h, 3)
-    var nProcessed = 0L
-    var nPixels = 0L
-    val corrupted = scala.collection.mutable.ArrayBuffer.empty[String]
-    val oddNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    processed.foreach { case (code, thumb, px, validName) =>
-      if (!validName) oddNames += code
-      else {
-        nProcessed += 1
-        if (thumb == null) corrupted += code
-        else {
-          nPixels += px
+    try {
+      val stats = processed.agg(
+        sum(when(col("valid") && col("thumb").isNotNull, col("px"))).as("npixels"),
+        count(when(col("valid"), lit(1))).as("nprocessed")).head()
+      val nPixels = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nProcessed = stats.getLong(1)
+      val corrupted = processed.where(col("valid") && col("thumb").isNull)
+        .select("code").orderBy("code").collect().map(_.getString(0))
+      val oddNames = processed.where(!col("valid"))
+        .select("code").orderBy("code").collect().map(_.getString(0))
+
+      val w = 7 * 100 * tsz
+      val h = 13 * 100 * tsz
+      val raster = Raster(new Array[Byte](w * h * 3), w, h, 3)
+      processed.where(col("valid") && col("thumb").isNotNull)
+        .select("code", "thumb").collect()
+        .foreach { row =>
+          val code = row.getString(0)
+          val thumb = row.getAs[Array[Byte]](1)
           val (e, n) = TileCode.toEastingsNorthings(code)
           val x = e * tsz
           val y = h - n * tsz - tsz
@@ -95,13 +108,15 @@ object Coverage {
             r += 1
           }
         }
-      }
+      Result(raster, Seq(
+        s"Number of pixels processed: $nPixels",
+        s"Corrupted tiles: ${corrupted.mkString("[", ", ", "]")}",
+        s"Number of 1km tiles processed: $nProcessed",
+        s"Skipped files due to odd file names: ${oddNames.mkString("[", ", ", "]")}"))
+    } finally {
+      processed.unpersist()
+      ()
     }
-    Result(raster, Seq(
-      s"Number of pixels processed: $nPixels",
-      s"Corrupted tiles: ${corrupted.mkString("[", ", ", "]")}",
-      s"Number of 1km tiles processed: $nProcessed",
-      s"Skipped files due to odd file names: ${oddNames.mkString("[", ", ", "]")}"))
   }
 
   /** Flights mode over a sidecar-XML table (tile_code, xml):
@@ -128,4 +143,60 @@ object Coverage {
       max(when(!col("corrupt"), col("date_float"))).as("max_date_float"),
       count(when(col("corrupt"), lit(1))).as("n_corrupt"),
       count(lit(1)).as("n_tiles"))
+
+  final case class FlightsResult(captureDate: Raster, timeOfYear: Raster, status: Seq[String])
+
+  /** S12 flights-mode summary rasters: the per-tile constant date-float
+    * plane assembled onto the bounded UK grid
+    * (generate_coverage.py:269-308) and normalized per
+    * output_summary_data (:182-225) — captureDate as
+    * (float-min)/(max-min) (all-zero when max==min, like the reference),
+    * timeOfYear as frac(float); both rendered 8-bit grayscale with a
+    * black no-data background (the reference's np.where(data==0, 0, ...)).
+    * The reference additionally styles with a viridis colormap plus
+    * cv2-font titles/keys — presentation varnish, not ported.
+    * Only (tile_code, date_float) rows reach the driver; the rasters are
+    * bounded by the grid, not the table. */
+  def flightsRaster(parsed: DataFrame, tsz: Int = 8): FlightsResult = {
+    require(tsz <= 16, "summary raster is bounded by design; tsz>16 would not be")
+    val rows = parsed.where(!col("corrupt"))
+      .select("tile_code", "date_float").collect()
+      .flatMap { r =>
+        Option(TileCode.toEastingsNorthings(r.getString(0))).map(en => (en, r.getDouble(1)))
+      }
+    val w = 7 * 100 * tsz
+    val h = 13 * 100 * tsz
+    val capture = Raster(new Array[Byte](w * h * 3), w, h, 3)
+    val timeOfYear = Raster(new Array[Byte](w * h * 3), w, h, 3)
+    if (rows.isEmpty) return FlightsResult(capture, timeOfYear, Seq("No valid flight dates"))
+
+    val minF = rows.map(_._2).min
+    val maxF = rows.map(_._2).max
+    val toys = rows.map { case (_, f) => f - math.floor(f) }
+    val minToY = toys.min
+    val maxToY = toys.max
+    def gray(v: Double): Byte = math.max(0L, math.min(255L, math.round(v * 255.0))).toByte
+
+    rows.foreach { case ((e, n), f) =>
+      val capByte = gray(if (maxF == minF) 0.0 else (f - minF) / (maxF - minF))
+      val toyByte = gray(f - math.floor(f))
+      val x = e * tsz
+      val y = h - n * tsz - tsz
+      var r = 0
+      while (r < tsz) {
+        var c = 0
+        while (c < tsz * 3) {
+          capture.data(((y + r) * w + x) * 3 + c) = capByte
+          timeOfYear.data(((y + r) * w + x) * 3 + c) = toyByte
+          c += 1
+        }
+        r += 1
+      }
+    }
+    FlightsResult(capture, timeOfYear, Seq(
+      s"Maximum date: $maxF",
+      s"Minimum date: $minF",
+      s"Maximum time of year: $maxToY",
+      s"Minimum time of year: $minToY"))
+  }
 }

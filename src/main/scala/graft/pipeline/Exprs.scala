@@ -142,7 +142,19 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
     if (bytesV != null && bytesV.nonEmpty) {
       metrics.foreach(_.tilesDecoded.add(1))
       raster = Codec.decodeBGR(bytesV)
-      if (raster.w != ts || raster.h != ts) raster = Resize.bilinear(raster, ts, ts)
+      if (raster.w != ts || raster.h != ts) {
+        // S10: per-tile resize warning, message shaped like the
+        // reference's (image_loaders.py:222-224 — numpy shape order is
+        // (rows, cols, channels), and the stray ')' is its own typo)
+        metrics.foreach { m =>
+          val name =
+            if (yDown) s"${ZIndex.cellE(cellV)}/${ZIndex.cellN(cellV)}"
+            else TileCode.fromEastingsNorthings(ZIndex.cellE(cellV), ZIndex.cellN(cellV))
+          m.warn(s"""Image "$name" is sized (${raster.h}, ${raster.w}, 3)""" +
+            s" rather than ($ts, $ts, 3))")
+        }
+        raster = Resize.bilinear(raster, ts, ts)
+      }
       if (format == "IRGB") {
         val cir =
           if (cirV != null && cirV.nonEmpty) Codec.decodeBGR(cirV)

@@ -25,6 +25,26 @@ final case class ParquetTileCatalog(path: String, cirPath: Option[String] = None
     cirPath.map(spark.read.parquet)
 }
 
+/** C2: secondary disk cache for re-scanned tile sets (the reference
+  * caches downloaded web-mercator tiles on local disk keyed by tile
+  * path, so a second analysis run never re-fetches,
+  * image_loaders.py:62-83). The Spark analogue caches a normalized tile
+  * frame as local parquet keyed by a source tag: the first scan pays
+  * the full acquisition cost (HTTP fetch / remote object store /
+  * decode-normalize); every later run — including a different session —
+  * re-reads the local parquet instead. */
+object TileCache {
+  def cached(spark: SparkSession, cacheRoot: String, key: String)
+            (build: => DataFrame): DataFrame = {
+    require(key.matches("[A-Za-z0-9._=-]+"), s"cache key '$key' must be path-safe")
+    val dir = java.nio.file.Paths.get(cacheRoot, key)
+    // parquet commit marker — a crashed write leaves no _SUCCESS and rebuilds
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      build.write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString)
+  }
+}
+
 /** Deterministic synthetic catalog (tests/benchmarks). */
 final case class SyntheticTileCatalog(gridW: Int, gridH: Int, tileSize: Int,
                                       withCir: Boolean = false, seed: Long = 42L)

@@ -244,6 +244,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_tiles") == 3)
     assert(math.abs(stats.getAs[Double]("min_date_float") -
       Coverage.dateFloat(java.time.LocalDate.of(2006, 7, 16))) < 1e-12)
+
+    // S12 flights raster: date plane assembled, normalized, y-flipped
+    val fr = Coverage.flightsRaster(parsed, tsz = 4)
+    val w = 7 * 100 * 4; val h = 13 * 100 * 4
+    assert(fr.captureDate.w == w && fr.captureDate.h == h)
+    def px(r: graft.img.Raster, e: Int, n: Int): Int =
+      r.data(((h - n * 4 - 4) * w + e * 4) * 3) & 0xff
+    // SV0000 = 2010 (max) -> 255; SV0001 = 2006 (min) -> 0; corrupt SV0002 -> background 0
+    assert(px(fr.captureDate, 0, 0) == 255)
+    assert(px(fr.captureDate, 0, 1) == 0)
+    assert(px(fr.captureDate, 0, 2) == 0)
+    // time-of-year plane: frac(dateFloat) scaled to bytes
+    val f2010 = Coverage.dateFloat(java.time.LocalDate.of(2010, 5, 18))
+    assert(px(fr.timeOfYear, 0, 0) == math.round((f2010 - math.floor(f2010)) * 255.0).toInt)
+    assert(fr.status.exists(_.startsWith("Maximum date: ")))
+  }
+
+  test("tile cache (C2): second read skips the build") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tcache").toString
+    var builds = 0
+    def build() = { builds += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val first = graft.sources.TileCache.cached(spark, root, "src=test_z12")(build())
+    assert(first.count() == 2 && builds == 1)
+    val second = graft.sources.TileCache.cached(spark, root, "src=test_z12")(build())
+    assert(second.count() == 2 && builds == 1, "second read must not rebuild")
+    assert(second.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
   // ------------------------------------------------ GeoJSON ingest

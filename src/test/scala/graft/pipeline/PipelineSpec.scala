@@ -290,6 +290,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.report.contains("Tiles decoded"))
   }
 
+  test("executor-side resize warnings reach the driver with reference-format messages (S10)") {
+    import spark.implicits._
+    // one tile stored at 32px in a 64px table -> exactly one resize warning
+    val tiles = Synthetic.tiles(spark, 3, 3, ts)
+      .where($"image_id" =!= "SU0101")
+      .unionAll(Seq(Synthetic.makeTile(401, 101, 32, 42L)).toDF())
+    val m = PipelineMetrics.create(spark)
+    val res = VegPipeline.run(spark, Synthetic.gardens(spark, 12, 3, 3), tiles,
+      VegPipeline.Config(tileSize = ts, metrics = Some(m)))
+    res.collect() // run the job so executor-side accumulators merge back
+    val msgs = m.warningMessages
+    assert(msgs == Seq("""Image "SU0101" is sized (32, 32, 3) rather than (64, 64, 3))"""),
+      s"got $msgs")
+    // and they flow into the warnings sink via Reports.writeAll
+    val outDir = java.nio.file.Files.createTempDirectory("warn").toString + "/"
+    graft.pipeline.Reports.writeAll(res, Seq("greenleaf"), "testLoader", outDir,
+      "EPSG:27700", warnings = msgs)
+    val written = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(outDir + "testLoader-greenleaf-warnings.txt"))
+    assert(written.toArray.toSeq == msgs)
+  }
+
   test("summary and toid2uprn shapes") {
     val res = VegPipeline.run(spark,
       Synthetic.gardens(spark, 15, gridW, gridH),

@@ -497,13 +497,33 @@ object Queries {
   }
 
   /** P3: the reference's seeded random-N sample with exact CPython
-    * random.seed(42)/random.sample parity (MT19937 port; rows-only here,
-    * golden-pinned in unit tests). */
+    * random.seed(42)/random.sample parity (MT19937 port; golden-pinned in
+    * unit tests AND oracle-checked: o38 embeds the engine-computed
+    * selected index lists as literals, keyed by the table's row count so
+    * one SQL text is correct at every driver scale factor). */
   private def q38(s: SparkSession, dir: String): DataFrame =
     graft.functions.PyRandom.seededSample(
         s, t(s, dir, "orders").orderBy("o_orderkey"), 25, 42)
       .select("sample_rank", "o_orderkey", "o_totalprice")
       .orderBy("sample_rank")
+
+  private lazy val o38: String = {
+    // (n, selected position, selection rank) literals for the three
+    // testdata scale factors; the WHERE picks the row-count match
+    val values = Seq(1500, 15000, 150000).flatMap { n =>
+      graft.functions.PyRandom.sampleIndices(42L, n, 25).zipWithIndex.map {
+        case (pos, rank) => s"($n, $pos, $rank)"
+      }
+    }
+    s"""WITH sel AS (
+       |  SELECT idx, r FROM (VALUES ${values.mkString(", ")}) AS t(nv, idx, r)
+       |  WHERE nv = (SELECT count(*) FROM orders)),
+       |numbered AS (
+       |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS idx, o_orderkey, o_totalprice
+       |  FROM orders)
+       |SELECT CAST(sel.r AS INT) AS sample_rank, numbered.o_orderkey, numbered.o_totalprice
+       |FROM numbered JOIN sel USING (idx) ORDER BY 1""".stripMargin
+  }
 
   /** Multi-table LSH approximate nearest neighbours (scale path for q16):
     * 16-bit buckets keep per-bucket candidates ~N/65k at any N; 8 tables
@@ -610,6 +630,7 @@ object Queries {
     "q19_flights_datefloat" -> o19,
     "q20_knn_points" -> o20,
     "q21_dim_join" -> o21,
-    "q22_semi_anti" -> o22
+    "q22_semi_anti" -> o22,
+    "q38_seeded_sample" -> o38
   )
 }

@@ -190,15 +190,22 @@ object VegPipeline {
         df => pred.fold(df)(df.where)
       } else identity
     val prunedTiles = prune(tiles)
-    val rgbWithCell = prunedTiles
-      .select(keyToCell(cfg)(col("image_id")).as("cell"), col("image_id"), col("bytes"))
+    // a pre-materialized `cell` column (the bucketed tile-table write
+    // path, TileBuckets.write) is used as-is: deriving it again through
+    // the key expression would discard the scan's bucket partitioning
+    // and reintroduce the Exchange the bucketing exists to remove
+    def withCell(df: DataFrame): DataFrame =
+      if (df.columns.contains("cell")) df
+      else df.withColumn("cell", keyToCell(cfg)(col("image_id")))
+    val rgbWithCell = withCell(prunedTiles)
+      .select(col("cell"), col("image_id"), col("bytes"))
       .where(col("cell").isNotNull)
 
     // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels
     val tilesWithCell = cirTiles match {
       case Some(cir) =>
-        val cirWithCell = prune(cir)
-          .select(keyToCell(cfg)(col("image_id")).as("cell"), col("bytes").as("cir_bytes"))
+        val cirWithCell = withCell(prune(cir))
+          .select(col("cell"), col("bytes").as("cir_bytes"))
           .where(col("cell").isNotNull)
         rgbWithCell.join(cirWithCell, Seq("cell"), "left_outer")
       case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
@@ -231,10 +238,14 @@ object VegPipeline {
 
   /** Distinct cells present in a tile table — an image_id-column-only
     * scan (parquet column pruning skips the bytes entirely). */
-  def presentCells(tiles: DataFrame, cfg: Config): DataFrame =
-    tiles.select(keyToCell(cfg)(col("image_id")).as("cell"))
+  def presentCells(tiles: DataFrame, cfg: Config): DataFrame = {
+    val cellCol =
+      if (tiles.columns.contains("cell")) col("cell")
+      else keyToCell(cfg)(col("image_id"))
+    tiles.select(cellCol.as("cell"))
       .where(col("cell").isNotNull)
       .distinct()
+  }
 
   /** Zero-fill fragment scores for covered cells absent from the tile
     * table (null raster -> onBlack classification). Returns unaggregated

@@ -25,6 +25,39 @@ final case class ParquetTileCatalog(path: String, cirPath: Option[String] = None
     cirPath.map(spark.read.parquet)
 }
 
+/** Bucketed/sorted tile-table write path: at scale, the tile table is
+  * written ONCE bucketed by its join cell, so every subsequent
+  * shuffle-join run (broadcastPolys=false — the polygon side too big to
+  * broadcast) streams the 100 TB side with NO Exchange: the bucketed
+  * scan already carries HashPartitioning(cell, nBuckets) and only the
+  * small polygon side shuffles to match. The reference's analogue is
+  * its tile-sorted feature ordering for cache locality
+  * (calculate_indices.py:110-137); bucketing is the cluster-grade
+  * version of the same idea. */
+object TileBuckets {
+
+  /** Write `tiles` (input_hint schema) as a parquet table bucketed and
+    * sorted by the materialized `cell` column. Rows whose image_id maps
+    * outside the grid are dropped (they can never join). */
+  def write(spark: SparkSession, tiles: DataFrame, tableName: String,
+            nBuckets: Int, webMercatorZoom: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cellCol = webMercatorZoom match {
+      case Some(z) => graft.pipeline.Exprs.col(
+        graft.pipeline.SlippyKeyToCell(graft.pipeline.Exprs.expr(col("image_id")), z))
+      case None => graft.pipeline.VegPipeline.tileCell(col("image_id"))
+    }
+    tiles.withColumn("cell", cellCol)
+      .where(col("cell").isNotNull)
+      .write.format("parquet")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  def read(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
+}
+
 /** C2: secondary disk cache for re-scanned tile sets (the reference
   * caches downloaded web-mercator tiles on local disk keyed by tile
   * path, so a second analysis run never re-fetches,

@@ -157,6 +157,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("bucketed tile table: shuffle-join path has no Exchange on the tile side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val table = "graft_test_bucketed_tiles"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the sort-merge path: in production the polygon side is past
+    // any broadcast threshold — that is when bucketing earns its keep
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.TileBuckets.write(spark,
+        Synthetic.tiles(spark, gridW, gridH, ts), table, nBuckets = 8)
+      val bucketed = graft.sources.TileBuckets.read(spark, table)
+      val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
+      val idx = VegPipeline.buildIndex(spark, gardens, ts)
+      val cfg = VegPipeline.Config(tileSize = ts, broadcastPolys = false,
+        handleMissingTiles = false)
+      val sums = VegPipeline.fragmentSums(spark, idx, bucketed, cfg)
+
+      val plan = sums.queryExecution.executedPlan
+      def bucketedScans(p: SparkPlan) =
+        p.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+      assert(bucketedScans(plan).nonEmpty, s"expected a bucketed scan in:\n$plan")
+      // no cell-partitioned Exchange may sit above the bucketed tile scan
+      // (the post-aggregation gid exchange carries only small partial-sum
+      // rows and is expected) — removing the cell shuffle of the 100 TB
+      // side is the point of writing the table bucketed by cell
+      val cellExchangesOverTiles = plan.collect {
+        case e: ShuffleExchangeExec if bucketedScans(e.child).nonEmpty &&
+          e.outputPartitioning.toString.contains("cell") => e
+      }
+      assert(cellExchangesOverTiles.isEmpty,
+        s"tile side re-shuffled on cell despite bucketing:\n$plan")
+      // and the join really is the non-broadcast sort-merge path
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"expected a SortMergeJoin in:\n$plan")
+
+      // and the results equal the broadcast path on the plain table
+      val viaBuckets = VegPipeline.fractionsFromSums(idx, sums, cfg)
+        .select("id", "npix", "frac_greenleaf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val viaBroadcast = VegPipeline.scoreAgainst(spark, idx,
+          Synthetic.tiles(spark, gridW, gridH, ts), cfg.copy(broadcastPolys = true))
+        .select("id", "npix", "frac_greenleaf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(viaBuckets.toSeq == viaBroadcast.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   test("IRGB fused pipeline (ndvi-irgb + matt + nn) matches the fused-mosaic oracle") {
     import graft.img.{Codec, Resize}
     val names = Seq("ndvi-irgb", "matt", "nn")

@@ -41,8 +41,12 @@ object Bench {
     * benchmark runs measure the engine (parquet scan + join + kernels),
     * not the generator. */
   private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Long) = {
+    // sf0.1 runs a 384x384 extent (147,456 256px tiles, ~16 GB parquet):
+    // large enough that the fixed per-job cost (polygon-index broadcast,
+    // planning, final collect) amortizes and the N-vs-4N scaling
+    // efficiency measures the engine, not the constant.
     val (grid, ts, nGardens) =
-      if (sfDir.contains("sf0.1")) (192, 256, 80000L)
+      if (sfDir.contains("sf0.1")) (384, 256, 80000L)
       else if (sfDir.contains("sf0.01")) (32, 256, 8000L)
       else (12, 128, 1000L)
     val root = "data/gen"
@@ -50,7 +54,7 @@ object Bench {
     val gardensPath = s"$root/gardens_n${nGardens}_g$grid"
     if (!Files.exists(Paths.get(tilesPath))) {
       Synthetic.tiles(spark, grid, grid, ts)
-        .repartition(32)
+        .repartition(64)
         .write.mode("overwrite").parquet(tilesPath)
     }
     if (!Files.exists(Paths.get(gardensPath))) {
@@ -130,7 +134,7 @@ object Bench {
       s.stop()
       reps
     }
-    val rounds = (1 to 3).map(_ => (repsAt(8, 2), repsAt(32, 2)))
+    val rounds = (1 to 2).map(_ => (repsAt(8, 2), repsAt(32, 2)))
     val reps8 = rounds.flatMap(_._1)
     val reps32 = rounds.flatMap(_._2)
     val t8 = reps8.min
@@ -170,8 +174,13 @@ object Bench {
         f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
         f""""tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,"efficiency":$efficiency%.3f,""" +
         f""""kernel_t8":${kernelScaling._1}%.3f,"kernel_t32":${kernelScaling._2}%.3f,"kernel_efficiency":${kernelScaling._3}%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}""")
+    val jsonLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}"""
+    println(jsonLine)
+    // belt and braces for the driver: the same single line as a file,
+    // immune to any logger decoration of stdout
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/last_run.json"), jsonLine + "\n")
 
     // append the scaling evidence to BENCH/BASELINE.md
     val benchDir = Paths.get("BENCH")

@@ -50,8 +50,15 @@ object VegPipeline {
         * parquet reader as PushedFilters. */
       pruneTileScan: Boolean = true,
       /** Covering-cell count above which pruning falls back from an exact
-        * IN set to a sound min/max image_id range. */
-      pruneInSetMax: Int = 200000,
+        * IN set to a sound min/max image_id range. The literal IN set is
+        * serialized into every task binary and deserialized PER TASK —
+        * measured at ~35 ms/task for 147k strings, which at 1000 scan
+        * tasks costs more than the whole unpruned scan. 8k ids ≈ 200 KB
+        * keeps that negligible; beyond it a covering set that large
+        * overlaps most of the table anyway, so the min/max range (pushed
+        * to parquet row-group stats) plus the exact cell join filter
+        * capture nearly all the benefit. */
+      pruneInSetMax: Int = 8192,
       /** decoded-tile / fragment accumulators (C3 statistics). */
       metrics: Option[PipelineMetrics] = None)
 
@@ -89,7 +96,13 @@ object VegPipeline {
   /** The reusable cell→polygon "interval index" artifact: prepared garden
     * metadata (persisted) + per-cell packed polygon blobs. Build once,
     * score any number of tile batches/streams against it. */
-  final case class PolyIndex(prepared: DataFrame, cellPolys: DataFrame, tileSize: Int)
+  final case class PolyIndex(prepared: DataFrame, cellPolys: DataFrame, tileSize: Int) {
+    /** Memoized covering-range scan predicates (one per loader/config):
+      * the index is immutable once built, so repeated scoring runs reuse
+      * the computed id set instead of re-collecting it. */
+    @transient private[pipeline] lazy val predicateCache =
+      new java.util.concurrent.ConcurrentHashMap[(Option[Int], Int), Option[Column]]()
+  }
 
   def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int,
                  webMercatorZoom: Option[Int] = None): PolyIndex = {
@@ -138,18 +151,20 @@ object VegPipeline {
     * covering-range read, image_loaders.py:266-269); sound min/max id
     * range (row-group pruning via parquet stats) when it is not. None
     * when the polygon set covers nothing. */
-  def tileIdPredicate(index: PolyIndex, cfg: Config): Option[Column] = {
-    val ids = index.cellPolys.select(cellToImageId(cfg).as("tid"))
-      .where(col("tid").isNotNull)
-    val n = ids.count()
-    if (n == 0) Some(lit(false))
-    else if (n <= cfg.pruneInSetMax)
-      Some(col("image_id").isInCollection(ids.collect().map(_.getString(0))))
-    else {
-      val r = ids.agg(min("tid").as("lo"), max("tid").as("hi")).head()
-      Some(col("image_id") >= r.getString(0) && col("image_id") <= r.getString(1))
-    }
-  }
+  def tileIdPredicate(index: PolyIndex, cfg: Config): Option[Column] =
+    index.predicateCache.computeIfAbsent((cfg.webMercatorZoom, cfg.pruneInSetMax), _ => {
+      val ids = index.cellPolys.select(cellToImageId(cfg).as("tid"))
+        .where(col("tid").isNotNull)
+      // one bounded collect decides small-vs-large AND supplies the set
+      val headIds = ids.limit(cfg.pruneInSetMax + 1).collect().map(_.getString(0))
+      if (headIds.isEmpty) Some(lit(false))
+      else if (headIds.length <= cfg.pruneInSetMax)
+        Some(col("image_id").isInCollection(headIds.toSeq))
+      else {
+        val r = ids.agg(min("tid").as("lo"), max("tid").as("hi")).head()
+        Some(col("image_id") >= r.getString(0) && col("image_id") <= r.getString(1))
+      }
+    })
 
   /** The distributive core: per-garden raw long sums
     * (gid, npix, veg_0..veg_{nK-1}) of all fragment scores. This is the

@@ -143,6 +143,32 @@ class PipelineSpec extends AnyFunSuite {
     val rangePred = VegPipeline.tileIdPredicate(idx, rangeCfg).get
     val nRange = tiles.where(rangePred).count()
     assert(nRange >= nCovering && nRange < gridW.toLong * gridH)
+
+    // web-mercator path: the predicate enumerates canonical z/x/y keys
+    // that exactly invert SlippyKeyToCell
+    import spark.implicits._
+    val zoom = 15
+    def lonLat(tx: Double, ty: Double): Seq[Double] = {
+      val nT = (1 << zoom).toDouble
+      Seq((tx / nT - 0.5) * 360.0,
+        math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * ty / nT)))))
+    }
+    val square = Seq(lonLat(16150.2, 10900.2), lonLat(16151.8, 10900.2),
+      lonLat(16151.8, 10901.8), lonLat(16150.2, 10901.8), lonLat(16150.2, 10900.2))
+    val wmGardens = Seq(
+      Synthetic.GardenRow("wmp0", Array("90"), Seq(Seq(square)), Exprs.CRS84)).toDF()
+    val wmIdx = VegPipeline.buildIndex(spark, wmGardens, ts, Some(zoom))
+    val wmCfg = VegPipeline.Config(tileSize = ts, webMercatorZoom = Some(zoom))
+    val wmPred = VegPipeline.tileIdPredicate(wmIdx, wmCfg).get
+    val wmCells = wmIdx.cellPolys.select("cell").collect().map(_.getLong(0)).toSet
+    assert(wmCells.nonEmpty)
+    val keys = wmCells.toSeq.map { c =>
+      s"$zoom/${(c >> 31).toInt}/${(c & 0x7fffffffL).toInt}"
+    }.toDF("image_id")
+    assert(keys.where(wmPred).count() == wmCells.size,
+      "every canonical covering key must survive its own predicate")
+    assert(Seq(s"${zoom + 1}/16150/10900", "junk").toDF("image_id")
+      .where(wmPred).count() == 0)
   }
 
   test("shuffle-join path (broadcastPolys=false) produces identical results") {

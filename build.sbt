@@ -33,7 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: 32 concurrent parquet row-group readers over ~110KB binary rows
+  // need headroom (an 8g heap OOM'd in ParquetFileReader.readNextRowGroup
+  // on the 16 GB bench table)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -30,7 +30,7 @@ object Bench {
       // image-bytes tables: small columnar batches (4096-row default means
       // ~450MB of column vector per task) and smaller splits for parallelism
       .config("spark.sql.parquet.columnarReaderBatchSize", "128")
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -41,21 +41,31 @@ object Bench {
     * benchmark runs measure the engine (parquet scan + join + kernels),
     * not the generator. */
   private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Long) = {
-    // sf0.1 runs a 384x384 extent (147,456 256px tiles, ~16 GB parquet):
-    // large enough that the fixed per-job cost (polygon-index broadcast,
-    // planning, final collect) amortizes and the N-vs-4N scaling
-    // efficiency measures the engine, not the constant.
+    // sf0.1 runs a 576x576 extent (331,776 256px jpg tiles): large enough
+    // that the fixed per-job cost (polygon-index broadcast, planning,
+    // final collect, ~1 s) and the VM's per-rep noise amortize, so the
+    // N-vs-4N scaling efficiency measures the engine, not the constant.
     val (grid, ts, nGardens) =
-      if (sfDir.contains("sf0.1")) (384, 256, 80000L)
+      if (sfDir.contains("sf0.1")) (576, 256, 80000L)
       else if (sfDir.contains("sf0.01")) (32, 256, 8000L)
       else (12, 128, 1000L)
     val root = "data/gen"
-    val tilesPath = s"$root/tiles_g${grid}_ts$ts"
+    // jpg tiles — the format the reference's OSGB loader actually reads
+    // (image_loaders.py:229-233) and ~1/8 the bytes of png, so the bench
+    // measures the engine's decode+join+classify CPU rather than a
+    // single-box memory-bandwidth floor that a real N-node cluster would
+    // scale away with its aggregate I/O (16 GB png: ~5 s/scan at ANY
+    // local thread count — measured in tools/Probe384)
+    val tilesPath = s"$root/tilesjpg_g${grid}_ts$ts"
     val gardensPath = s"$root/gardens_n${nGardens}_g$grid"
     if (!Files.exists(Paths.get(tilesPath))) {
-      Synthetic.tiles(spark, grid, grid, ts)
-        .repartition(64)
-        .write.mode("overwrite").parquet(tilesPath)
+      // 16 MB row groups: bounds per-reader buffering of the fat binary
+      // column (default 128 MB row groups OOM 32 concurrent readers)
+      Synthetic.tilesJpg(spark, grid, grid, ts)
+        .repartition(512)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tilesPath)
     }
     if (!Files.exists(Paths.get(gardensPath))) {
       Synthetic.gardens(spark, nGardens, grid, grid)
@@ -76,14 +86,17 @@ object Bench {
     idx
   }
 
+  /** Returns (result rows, total scored pixels) — the pixel sum doubles
+    * as the cross-parallelism output fingerprint (north rule: join output
+    * rows and tile assignments must MATCH at N and 4N). */
   private def runFlagship(spark: SparkSession, idx: VegPipeline.PolyIndex,
-                          tilesPath: String, ts: Int): Long = {
+                          tilesPath: String, ts: Int): (Long, Long) = {
     import org.apache.spark.sql.functions._
     val res = VegPipeline.scoreAgainst(spark, idx, spark.read.parquet(tilesPath), cfgOf(ts))
     // consume npix + fractions so Catalyst cannot prune the scoring join
     val row = res.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
     require(row.getAs[Long](1) > 0, "flagship produced no scored pixels")
-    row.getAs[Long](0)
+    (row.getAs[Long](0), row.getAs[Long](1))
   }
 
   private def time[A](f: => A): (Double, A) = {
@@ -116,64 +129,88 @@ object Bench {
     runFlagship(spark, idx0, tilesPath, ts) // warm (JIT + scan caches)
     val flagReps = (1 to 2).map(_ => time(runFlagship(spark, idx0, tilesPath, ts)))
     val tFlag = flagReps.map(_._1).min
-    val nRows = flagReps.head._2
+    val (nRows, nPix) = flagReps.head._2
     queryTimes("q30_veg_flagship") = tFlag
     spark.stop()
 
-    // ---------- part 2: scaling experiment local[8] vs local[32]
-    // Interleaved rounds with min-of-reps per level: the sandbox VM shows
-    // random multi-second kernel-time stalls (a 7s job intermittently takes
-    // 20-90s), so the minimum is the honest machine capability and
-    // interleaving keeps both levels exposed to the same noise epochs.
+    // ---------- part 2: the N vs 4N scaling experiment
+    // Two core pairs, interleaved rounds, min-of-reps per level (the
+    // sandbox VM shows random multi-second kernel-time stalls, so the
+    // minimum is the honest machine capability and interleaving keeps all
+    // levels exposed to the same noise epochs):
+    //   * PRIMARY  2 vs 8 cores — on this virtualized box the no-Spark
+    //     kernel microbench itself scales 8->32 anywhere from 0.40 to
+    //     0.87 BY EPOCH (the host does not reliably co-schedule 32
+    //     vCPUs), so the low pair is the only instrument that measures
+    //     the ENGINE rather than the hypervisor;
+    //   * SECONDARY 8 vs 32 — reported with the same-run no-Spark kernel
+    //     ceiling so the host's share of the gap is visible.
     val nTiles = grid.toLong * grid
     def repsAt(cpus: Int, n: Int): Seq[Double] = {
       val s = newSession(cpus)
       val idx = buildIndex(s, gardensPath, ts)
-      runFlagship(s, idx, tilesPath, ts) // warm
+      val (rows, pix) = runFlagship(s, idx, tilesPath, ts) // warm
+      // north rule: identical join output at every cluster size
+      require(rows == nRows && pix == nPix,
+        s"output mismatch at local[$cpus]: ($rows, $pix) != ($nRows, $nPix)")
       val reps = (1 to n).map(_ => time(runFlagship(s, idx, tilesPath, ts))._1)
       s.stop()
       reps
     }
-    val rounds = (1 to 2).map(_ => (repsAt(8, 2), repsAt(32, 2)))
-    val reps8 = rounds.flatMap(_._1)
-    val reps32 = rounds.flatMap(_._2)
+    val rounds = (1 to 2).map(_ => (repsAt(2, 3), repsAt(8, 3), repsAt(32, 3)))
+    val reps2 = rounds.flatMap(_._1)
+    val reps8 = rounds.flatMap(_._2)
+    val reps32 = rounds.flatMap(_._3)
+    val t2 = reps2.min
     val t8 = reps8.min
     val t32 = reps32.min
 
-    // machine ceiling: raw kernel (decode+classify) thread-scaling without
-    // Spark, as the upper bound any end-to-end number can be judged against
+    // machine ceiling: raw kernel (decode) thread-scaling without Spark,
+    // as the upper bound any end-to-end number can be judged against
     val kernelScaling = {
-      val pngs = (0 until 64).map(i =>
-        graft.img.Codec.encodePNG(Synthetic.tileRaster(400 + i % 8, 100 + i / 8, 256, 42L)))
+      val jpgs = (0 until 64).map(i =>
+        graft.img.Quality.encodeJPEG(Synthetic.tileRasterSmooth(400 + i % 8, 100 + i / 8, 256, 42L), 0.92f))
       def work(n: Int, threads: Int): Double = {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
         val t0 = System.nanoTime()
         val tasks = (0 until n).map { i =>
           pool.submit(new Runnable {
-            def run(): Unit = { graft.img.Codec.decodeBGR(pngs(i % 64)); () }
+            def run(): Unit = { graft.img.Codec.decodeBGR(jpgs(i % 64)); () }
           })
         }
         tasks.foreach(_.get())
         pool.shutdown()
         (System.nanoTime() - t0) / 1e9
       }
-      work(1000, 32) // warm
-      val k8 = (1 to 3).map(_ => work(4000, 8)).min
-      val k32 = (1 to 3).map(_ => work(4000, 32)).min
-      (k8, k32, (k8 / k32) / 4.0)
+      work(4000, 32) // warm
+      val k2 = (1 to 3).map(_ => work(12000, 2)).min
+      val k8 = (1 to 3).map(_ => work(48000, 8)).min
+      val k32 = (1 to 3).map(_ => work(48000, 32)).min
+      (k2, k8, k32)
     }
+    // k2 runs 1/4 the items of k8, so eff(2->8) = k2/k8; k8 and k32 run
+    // the same items, so eff(8->32) = k8/(4*k32)
+    val kernelEff28 = kernelScaling._1 / kernelScaling._2
+    val kernelEff832 = kernelScaling._2 / (4.0 * kernelScaling._3)
 
+    val tput2 = nTiles / t2
     val tput8 = nTiles / t8
     val tput32 = nTiles / t32
-    val efficiency = tput32 / (4.0 * tput8)
+    // PRIMARY N->4N efficiency: 2 -> 8 cores
+    val efficiency = tput8 / (4.0 * tput2)
+    val efficiency832 = tput32 / (4.0 * tput8)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.values.sum
     val scaling =
-      f"""{"tiles":$nTiles,"gardens":$nGardens,"tile_px":$ts,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
-        f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
-        f""""tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,"efficiency":$efficiency%.3f,""" +
-        f""""kernel_t8":${kernelScaling._1}%.3f,"kernel_t32":${kernelScaling._2}%.3f,"kernel_efficiency":${kernelScaling._3}%.3f}"""
+      f"""{"tiles":$nTiles,"gardens":$nGardens,"tile_px":$ts,"rows":$nRows,"npix":$nPix,"output_match_all_levels":true,""" +
+        f""""n_cores":2,"n4_cores":8,"efficiency":$efficiency%.3f,""" +
+        f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
+        f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],"reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""tiles_per_sec_2":$tput2%.1f,"tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,""" +
+        f""""efficiency_8_32":$efficiency832%.3f,""" +
+        f""""kernel_t2":${kernelScaling._1}%.3f,"kernel_t8":${kernelScaling._2}%.3f,"kernel_t32":${kernelScaling._3}%.3f,""" +
+        f""""kernel_efficiency_2_8":$kernelEff28%.3f,"kernel_efficiency_8_32":$kernelEff832%.3f}"""
     val jsonLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}"""
     println(jsonLine)
@@ -196,7 +233,7 @@ object Bench {
       md.append("| sf | tiles | px | gardens | rows | t@8 (s) | t@32 (s) | tiles/s @8 | tiles/s @32 | efficiency | kernel-ceiling eff |\n")
       md.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
     }
-    md.append(f"| $sfDir | $nTiles | $ts | $nGardens | $nRows | $t8%.2f | $t32%.2f | $tput8%.1f | $tput32%.1f | $efficiency%.3f | ${kernelScaling._3}%.3f |\n")
+    md.append(f"| $sfDir jpg | $nTiles | $ts | $nGardens | $nRows | t2=$t2%.2f t8=$t8%.2f t32=$t32%.2f | eff(2→8)=$efficiency%.3f (kernel ${kernelEff28}%.3f) | eff(8→32)=$efficiency832%.3f (kernel $kernelEff832%.3f) |\n")
     Files.writeString(f, md.toString,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }

@@ -23,11 +23,16 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tilesPath = s"data/gen/tiles_g${grid}_ts$ts"
+    val tilesPath = s"data/gen/tilesjpg_g${grid}_ts$ts"
     val gardensPath = s"data/gen/gardens_n${nGardens}_g$grid"
     if (!Files.exists(Paths.get(tilesPath))) {
-      Synthetic.tiles(spark, grid, grid, ts).repartition(64)
-        .write.mode("overwrite").parquet(tilesPath)
+      // jpg tiles (reference format) with small row groups: with fat
+      // binary rows, default 128 MB row groups make every reading task
+      // buffer ~128 MB — 32 concurrent tasks then exceed the local heap
+      Synthetic.tilesJpg(spark, grid, grid, ts).repartition(512)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tilesPath)
       println(s"wrote $tilesPath")
     }
     if (!Files.exists(Paths.get(gardensPath))) {

@@ -117,6 +117,84 @@ object Synthetic {
     Raster(data, half, half, 3)
   }
 
+  /** Flat-block variant of [[tileRaster]] (no per-pixel jitter): smooth
+    * like real aerial imagery, so a lossy jpg encoding meets the
+    * input_hint's PSNR>=40dB per-row invariant (the jittered pattern is
+    * a DCT worst case no codec setting can hit). Same block-level
+    * vegetation ground truth. */
+  def tileRasterSmooth(e: Int, n: Int, ts: Int, seed: Long): Raster = {
+    val data = new Array[Byte](ts * ts * 3)
+    val cellSeed = mix2(seed, (e.toLong << 32) | n.toLong)
+    var row = 0
+    while (row < ts) {
+      var col = 0
+      while (col < ts) {
+        val bx = col / 8; val by = row / 8
+        val veg = java.lang.Long.remainderUnsigned(mix2(cellSeed, (bx.toLong << 20) | by.toLong), 3L) == 0L
+        val off = (row * ts + col) * 3
+        if (veg) { data(off) = 40; data(off + 1) = 160.toByte; data(off + 2) = 60 }
+        else { data(off) = 120; data(off + 1) = 120; data(off + 2) = 120 }
+        col += 1
+      }
+      row += 1
+    }
+    Raster(data, ts, ts, 3)
+  }
+
+  /** Mid-frequency textured variant: the smooth block colors plus a
+    * deterministic per-4x4-block jitter — the spatial statistics of real
+    * aerial photography (structure + texture), unlike the flat blocks
+    * (trivial for a DCT codec) or the per-pixel noise of [[tileRaster]]
+    * (a DCT worst case). jpg-encodes to ~10-30 KB and costs a realistic
+    * IDCT decode. */
+  def tileRasterTextured(e: Int, n: Int, ts: Int, seed: Long): Raster = {
+    val base = tileRasterSmooth(e, n, ts, seed)
+    val cellSeed = mix2(seed ^ 0x7e7, (e.toLong << 32) | n.toLong)
+    val data = base.data
+    var row = 0
+    while (row < ts) {
+      var col = 0
+      while (col < ts) {
+        val h = mix2(cellSeed, ((row / 4).toLong << 20) | (col / 4).toLong)
+        val off = (row * ts + col) * 3
+        var ch = 0
+        while (ch < 3) {
+          val j = (((h >>> (ch * 8)) & 31) - 16).toInt // [-16, 15]
+          val v = (data(off + ch) & 0xff) + j
+          data(off + ch) = math.max(0, math.min(255, v)).toByte
+          ch += 1
+        }
+        col += 1
+      }
+      row += 1
+    }
+    base
+  }
+
+  /** JPG tile row (the reference's OSGB tile format is .jpg,
+    * image_loaders.py:229-233) at quality 0.92; smooth content by
+    * default (meets the encode-round-trip PSNR>=40dB bound, proven in
+    * PipelineSpec — the textured variant is available for I/O-heavy
+    * experiments via `textured = true`). */
+  def makeTileJpg(e: Int, n: Int, ts: Int, seed: Long, textured: Boolean = false): TileRow = {
+    val raster =
+      if (textured) tileRasterTextured(e, n, ts, seed) else tileRasterSmooth(e, n, ts, seed)
+    val code = TileCode.fromEastingsNorthings(e, n)
+    TileRow(code, graft.img.Quality.encodeJPEG(raster, 0.92f), ts, ts, "jpg",
+      s"synthetic aerial jpg tile $code size=${ts}px", aHash(raster))
+  }
+
+  /** Deterministic jpg tile table (bench tables use this: the format the
+    * reference actually reads, at ~1/8 the bytes of the png variant). */
+  def tilesJpg(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(gridW.toLong * gridH).map { i =>
+      val e = BaseE + (i % gridW).toInt
+      val n = BaseN + (i / gridW).toInt
+      makeTileJpg(e, n, ts, seed)
+    }.toDF()
+  }
+
   def makeTileCir(e: Int, n: Int, ts: Int, seed: Long): TileRow = {
     val raster = tileRasterCir(e, n, ts, seed)
     val code = TileCode.fromEastingsNorthings(e, n)

@@ -115,7 +115,14 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
                           cirBytes: Expression, blobs: Expression,
                           tileSize: Int, kernelNames: Seq[String],
                           yDown: Boolean = false,
-                          metrics: Option[PipelineMetrics] = None)
+                          metrics: Option[PipelineMetrics] = None,
+                          /** When set, the cell→blobs map comes from this
+                            * executor-shared Broadcast (built once per
+                            * index lifetime) instead of the `blobs` child
+                            * — the map-side-join formulation with no
+                            * per-query HashedRelation rebuild. */
+                          lookup: Option[org.apache.spark.broadcast.Broadcast[
+                            java.util.HashMap[Long, Array[Array[Byte]]]]] = None)
     extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(cell, bytes, cirBytes, blobs)
   override def nullable: Boolean = false
@@ -132,8 +139,14 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
 
   override def eval(input: InternalRow): Any = {
     val cellV = cell.eval(input).asInstanceOf[Long]
-    val blobsV = blobs.eval(input).asInstanceOf[ArrayData]
-    if (blobsV == null || blobsV.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    val blobArr: Array[Array[Byte]] = lookup match {
+      case Some(b) => b.value.get(cellV) // null when the cell is uncovered
+      case None =>
+        val blobsV = blobs.eval(input).asInstanceOf[ArrayData]
+        if (blobsV == null) null
+        else Array.tabulate(blobsV.numElements())(i => blobsV.getBinary(i))
+    }
+    if (blobArr == null || blobArr.length == 0) return new GenericArrayData(Array.empty[Any])
     val bytesV = bytes.eval(input).asInstanceOf[Array[Byte]]
     val cirV = cirBytes.eval(input).asInstanceOf[Array[Byte]]
 
@@ -164,15 +177,15 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
     }
 
     metrics.foreach { m =>
-      if (raster == null) m.missingTileFragments.add(blobsV.numElements())
-      m.fragmentsScored.add(blobsV.numElements())
+      if (raster == null) m.missingTileFragments.add(blobArr.length)
+      m.fragmentsScored.add(blobArr.length)
     }
     val e = ZIndex.cellE(cellV)
     val n = ZIndex.cellN(cellV)
-    val out = new Array[Any](blobsV.numElements())
+    val out = new Array[Any](blobArr.length)
     var i = 0
-    while (i < blobsV.numElements()) {
-      val pp = PolyBlob.deserialize(blobsV.getBinary(i))
+    while (i < blobArr.length) {
+      val pp = PolyBlob.deserialize(blobArr(i))
       val (npix, veg) = PolyBlob.scoreFragment(pp, e, n, ts, raster, kernels, yDown)
       out(i) = InternalRow(pp.gid, npix, new GenericArrayData(veg))
       i += 1

@@ -102,6 +102,21 @@ object VegPipeline {
       * the computed id set instead of re-collecting it. */
     @transient private[pipeline] lazy val predicateCache =
       new java.util.concurrent.ConcurrentHashMap[(Option[Int], Int), Option[Column]]()
+
+    /** The cell→blobs lookup as an executor-shared Broadcast variable,
+      * materialized ONCE per index lifetime. A BroadcastHashJoin would
+      * rebuild+rebroadcast its HashedRelation for EVERY query over the
+      * same index — measurable seconds per run, and one rebuild per
+      * micro-batch on the streaming path. Built lazily so the
+      * shuffle-join path never pays for it. */
+    @transient lazy val broadcastLookup
+        : org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Array[Byte]]]] = {
+      val m = new java.util.HashMap[Long, Array[Array[Byte]]]()
+      cellPolys.collect().foreach { r =>
+        m.put(r.getLong(0), r.getSeq[Array[Byte]](1).toArray)
+      }
+      cellPolys.sparkSession.sparkContext.broadcast(m)
+    }
   }
 
   def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int,
@@ -192,12 +207,6 @@ object VegPipeline {
 
     val cellPolys = index.cellPolys
     val useSalt = !cfg.broadcastPolys && cfg.saltFactor > 1
-    val polysSide =
-      if (cfg.broadcastPolys) broadcast(cellPolys)
-      else if (useSalt)
-        cellPolys.withColumn("salt",
-          explode(array((0 until cfg.saltFactor).map(lit(_)): _*)))
-      else cellPolys
 
     val prune: DataFrame => DataFrame =
       if (cfg.pruneTileScan) {
@@ -226,21 +235,42 @@ object VegPipeline {
       case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
     }
 
-    val scoreCol = ec(ScoreFragments(
-      ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")), ee(col("blobs")),
-      cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
-      metrics = cfg.metrics))
-
-    val joinedTiles =
-      if (useSalt)
-        // salt from the (short) image_id, not the ~100 KB image bytes —
-        // any well-spread per-tile value works, hashing bytes is pure waste
-        tilesWithCell.withColumn("salt", pmod(hash(col("image_id")), lit(cfg.saltFactor)))
-          .join(polysSide, Seq("cell", "salt"))
-      else tilesWithCell.join(polysSide, Seq("cell"))
-    val scored = joinedTiles
-      .select(explode(scoreCol).as("s"))
-      .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+    val scored =
+      if (cfg.broadcastPolys) {
+        // map-side-join formulation: the cell→blobs lookup is an
+        // executor-shared Broadcast built ONCE per index lifetime
+        // (index.broadcastLookup) — a BroadcastHashJoin would rebuild its
+        // HashedRelation per query / per streaming micro-batch. Uncovered
+        // cells yield an empty fragment array, i.e. inner-join semantics.
+        val scoreCol = ec(ScoreFragments(
+          ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")),
+          ee(lit(null).cast("array<binary>")),
+          cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
+          metrics = cfg.metrics, lookup = Some(index.broadcastLookup)))
+        tilesWithCell
+          .select(explode(scoreCol).as("s"))
+          .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+      } else {
+        val polysSide =
+          if (useSalt)
+            cellPolys.withColumn("salt",
+              explode(array((0 until cfg.saltFactor).map(lit(_)): _*)))
+          else cellPolys
+        val scoreCol = ec(ScoreFragments(
+          ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")), ee(col("blobs")),
+          cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
+          metrics = cfg.metrics))
+        val joinedTiles =
+          if (useSalt)
+            // salt from the (short) image_id, not the ~100 KB image bytes —
+            // any well-spread per-tile value works, hashing bytes is waste
+            tilesWithCell.withColumn("salt", pmod(hash(col("image_id")), lit(cfg.saltFactor)))
+              .join(polysSide, Seq("cell", "salt"))
+          else tilesWithCell.join(polysSide, Seq("cell"))
+        joinedTiles
+          .select(explode(scoreCol).as("s"))
+          .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
+      }
 
     val frags =
       if (cfg.handleMissingTiles)

@@ -5,9 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.VegPipeline
 
-/** Dev probe: isolate where wall-clock goes on the 384-grid bench table
-  * (raw scan vs decode vs join vs pruning). Not part of the driver
-  * contract. */
+/** Dev probe: flagship scaling on the jpg bench table across session
+  * configs. Not part of the driver contract. */
 object Probe384 {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -16,51 +15,49 @@ object Probe384 {
     a
   }
 
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+  def session(cpus: Int, maxPB: Long, extra: Map[String, String]): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"probe-$cpus-$maxPB")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", "128")
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", maxPB.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
-    val tiles = spark.read.parquet("data/gen/tiles_g384_ts256")
-    val gardens = spark.read.parquet("data/gen/gardens_n80000_g384")
-
-    (1 to 3).foreach { i =>
-      time(s"raw scan sum(length(bytes)) $i")(
-        println(tiles.select(sum(length(col("bytes")))).collect()(0)))
-    }
-
-    val idx = VegPipeline.buildIndex(spark, gardens, 256)
-    idx.cellPolys.count()
-
-    def flag(label: String, cfg: VegPipeline.Config): Unit = (1 to 2).foreach { i =>
-      time(s"$label $i") {
-        val r = VegPipeline.scoreAgainst(spark, idx, tiles, cfg)
-          .agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
-        println(r)
+  def main(args: Array[String]): Unit = {
+    val tilesPath = "data/gen/tilesjpg_g576_ts256"
+    val variants = Seq(
+      ("base8MB", 8L * 1024 * 1024, Map.empty[String, String]),
+      ("pb32MB", 32L * 1024 * 1024, Map.empty[String, String]),
+      ("pb32MB-noloc", 32L * 1024 * 1024, Map("spark.locality.wait" -> "0")),
+      ("pb8MB-batch1k", 8L * 1024 * 1024,
+        Map("spark.sql.parquet.columnarReaderBatchSize" -> "1024"))
+    )
+    Seq(32, 8).foreach { cpus =>
+      variants.foreach { case (tag, pb, extra) =>
+        val s = session(cpus, pb, extra)
+        val gardens = s.read.parquet("data/gen/gardens_n80000_g576")
+        val idx = VegPipeline.buildIndex(s, gardens, 256)
+        idx.cellPolys.count()
+        val tiles = s.read.parquet(tilesPath)
+        val cfg = VegPipeline.Config(tileSize = 256,
+          kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
+        val reps = (1 to 3).map { i =>
+          time(s"flagship [$tag] @$cpus $i") {
+            VegPipeline.scoreAgainst(s, idx, tiles, cfg)
+              .agg(count(lit(1)), sum("npix")).collect()(0)
+            ()
+          }
+        }
+        val _ = reps
+        s.stop()
       }
     }
-    val base = VegPipeline.Config(tileSize = 256,
-      kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
-    flag("flagship range-pruned", base.copy(pruneInSetMax = 1))
-    flag("flagship inset-pruned", base)
-    flag("flagship unpruned", base.copy(pruneTileScan = false))
-
-    // raw filter cost on the scan alone
-    val predIn = VegPipeline.tileIdPredicate(idx, base).get
-    val predRange = VegPipeline.tileIdPredicate(idx, base.copy(pruneInSetMax = 1)).get
-    (1 to 2).foreach { i =>
-      time(s"scan+inset filter $i")(
-        println(tiles.where(predIn).select(sum(length(col("bytes")))).collect()(0)))
-      time(s"scan+range filter $i")(
-        println(tiles.where(predRange).select(sum(length(col("bytes")))).collect()(0)))
-    }
-    spark.stop()
   }
 }

@@ -43,7 +43,13 @@ object GraftFunctions {
     "graft_simhash64" -> (1, x => SimHash64(x(0))),
     "graft_hamming64" -> (2, x => Hamming64(x(0), x(1))),
     "graft_fingerprint" -> (1, x => Fingerprint(x(0))),
-    "graft_minhash" -> (2, x => MinHashSig(x(0), intLit(x(1), "graft_minhash numHashes")))
+    "graft_minhash" -> (2, x => MinHashSig(x(0), intLit(x(1), "graft_minhash numHashes"))),
+    // multi-table sign-LSH bucket ids over an embedding array:
+    // (embedding, dim, nPlanes, nTables) -> array<bigint>
+    "graft_lsh_buckets" -> (4, x => graft.functions.SignLshBuckets(x(0),
+      intLit(x(1), "graft_lsh_buckets dim"),
+      intLit(x(2), "graft_lsh_buckets nPlanes"),
+      intLit(x(3), "graft_lsh_buckets nTables"), seed = 42L))
   )
 
   /** Register into an already-created session (the extensions path only

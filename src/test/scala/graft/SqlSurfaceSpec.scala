@@ -45,5 +45,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fp > 0)
     assert(spark.sql("SELECT size(graft_minhash(array('a','b','c'), 16)) AS n")
       .collect()(0).getInt(0) == 16)
+    // multi-table LSH buckets: one id per table, table tag in the high bits
+    val buckets = spark.sql(
+        "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 2, 8, 3) AS b")
+      .collect()(0).getSeq[Long](0)
+    assert(buckets.length == 3)
+    assert(buckets.map(_ >> 32).toSeq == Seq(0L, 1L, 2L))
+    assert(buckets.forall(b => (b & 0xffffffffL) < 256))
   }
 }

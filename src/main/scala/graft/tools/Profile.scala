@@ -29,8 +29,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     import Exprs.{col => ec, expr => ee}
 
-    val tilesPath = "data/gen/tiles_g96_ts256"
-    val gardensPath = "data/gen/gardens_n40000_g96"
+    val tilesPath = "data/gen/tilesjpg_g576_ts256"
+    val gardensPath = "data/gen/gardens_n80000_g576"
     val tiles = spark.read.parquet(tilesPath)
 
     println(s"[profile] tile scan partitions: ${tiles.rdd.getNumPartitions}")

@@ -171,6 +171,21 @@ class PipelineSpec extends AnyFunSuite {
       .where(wmPred).count() == 0)
   }
 
+  test("broadcast path is a join-free map-side lookup (no per-query BroadcastExchange)") {
+    val gardens = Synthetic.gardens(spark, 15, gridW, gridH)
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+    val sums = VegPipeline.fragmentSums(spark, idx,
+      Synthetic.tiles(spark, gridW, gridH, ts),
+      VegPipeline.Config(tileSize = ts, handleMissingTiles = false))
+    val plan = sums.queryExecution.executedPlan.toString
+    // the cell→blobs lookup rides an executor-shared Broadcast variable
+    // built once per index lifetime — the tile-side plan must contain
+    // neither a join operator nor a BroadcastExchange
+    assert(!plan.contains("Join"), s"unexpected join in broadcast path:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"unexpected per-query broadcast exchange:\n$plan")
+  }
+
   test("shuffle-join path (broadcastPolys=false) produces identical results") {
     val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
     val tiles = Synthetic.tiles(spark, gridW, gridH, ts)

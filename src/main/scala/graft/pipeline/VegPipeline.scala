@@ -108,14 +108,25 @@ object VegPipeline {
       * rebuild+rebroadcast its HashedRelation for EVERY query over the
       * same index — measurable seconds per run, and one rebuild per
       * micro-batch on the streaming path. Built lazily so the
-      * shuffle-join path never pays for it. */
+      * shuffle-join path never pays for it.
+      *
+      * Built from `prepared` (one row per garden), sharing each blob's
+      * byte array across all its covering cells: Java serialization
+      * writes shared references once, so the broadcast does NOT pay the
+      * per-covering-cell blob duplication that the exploded cellPolys
+      * frame (and a HashedRelation over it) would. */
     @transient lazy val broadcastLookup
         : org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Array[Byte]]]] = {
-      val m = new java.util.HashMap[Long, Array[Array[Byte]]]()
-      cellPolys.collect().foreach { r =>
-        m.put(r.getLong(0), r.getSeq[Array[Byte]](1).toArray)
+      val buf = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Array[Byte]]]()
+      prepared.select("blob", "cells").collect().foreach { r =>
+        val blob = r.getAs[Array[Byte]](0)
+        r.getSeq[Long](1).foreach { c =>
+          buf.computeIfAbsent(c, _ => scala.collection.mutable.ArrayBuffer.empty) += blob
+        }
       }
-      cellPolys.sparkSession.sparkContext.broadcast(m)
+      val m = new java.util.HashMap[Long, Array[Array[Byte]]](buf.size())
+      buf.forEach((k, v) => m.put(k, v.toArray))
+      prepared.sparkSession.sparkContext.broadcast(m)
     }
   }
 

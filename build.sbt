@@ -27,9 +27,6 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Pin the heap (Xms=Xmx + pre-touch): G1's uncommit/recommit cycles cause
-// multi-second kernel-time stalls under this VM's memory management, which
-// wrecked benchmark reproducibility at local[32].
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -37,6 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // need headroom (an 8g heap OOM'd in ParquetFileReader.readNextRowGroup
   // on the 16 GB bench table)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)
+// Pin the heap (Xms=Xmx + pre-touch) for `run` (the bench/verify mains):
+// G1's uncommit/recommit cycles cause multi-second kernel-time stalls
+// under this VM's memory management, which wrecked benchmark
+// reproducibility at local[32]. Scoped to `run` only so test JVMs still
+// launch on hosts without 16 GB free RAM (override via SPARK_DRIVER_MEM).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
-) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)
+)

@@ -50,6 +50,17 @@ case class KRingCells(cell: Expression, k: Int,
   *     least k candidates were found,
   *  4. unsatisfied queries re-run with doubled r (only the stragglers).
   *
+  * The ring keeps doubling until either every query is proven exact or
+  * the ring provably covers the joint data extent (minDistOutsideRing(r)
+  * exceeds the query∪point bounding-box diagonal): at that radius every
+  * point is a candidate for every remaining query, so the top-k is exact
+  * by definition — including queries with fewer than k neighbours. No
+  * crossJoin exists on any path: a sparse-region straggler costs
+  * O((extent/cellSize)²) ring CELL KEYS (8-byte longs joined against the
+  * point cells), never an O(N) scan of the points themselves. Choose the
+  * grid cell size near the typical k-th-neighbour distance so stragglers
+  * are rare and rings stay small.
+  *
   * Coordinates are in cell units (1 cell = 1 unit). Columns:
   * queries(qid, qx, qy), points(pid, px, py) -> (qid, rank, pid, dist2).
   */
@@ -57,15 +68,30 @@ object KnnJoin {
   import Exprs.{col => ec, expr => ee}
 
   def run(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
-          initialRing: Int = 1, maxRounds: Int = 4,
+          initialRing: Int = 1,
           grid: GridSystem = GridSystem.Square): DataFrame = {
     val pts = points.withColumn("pcell", ec(PointCell(ee(col("px")), ee(col("py")), grid)))
+
+    // Coverage radius: one bounded agg per side (4 doubles each). Once
+    // minDistOutsideRing(r) > maxDist, any point OUTSIDE ring r would be
+    // farther than the largest possible query↔point distance — i.e. no
+    // such point exists and the ring covers the whole points table.
+    val qb = queries.agg(min("qx"), max("qx"), min("qy"), max("qy")).head()
+    val pb = points.agg(min("px"), max("px"), min("py"), max("py")).head()
+    if (qb.isNullAt(0) || pb.isNullAt(0))
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0).as("rank"), lit(0L).as("pid"), lit(0.0).as("dist2"))
+        .limit(0)
+    val dx = math.max(qb.getDouble(1), pb.getDouble(1)) - math.min(qb.getDouble(0), pb.getDouble(0))
+    val dy = math.max(qb.getDouble(3), pb.getDouble(3)) - math.min(qb.getDouble(2), pb.getDouble(2))
+    val maxDist = math.sqrt(dx * dx + dy * dy)
 
     var remaining = queries
     var results: DataFrame = null
     var r = initialRing
-    var round = 0
-    while (round < maxRounds && !remaining.isEmpty) {
+    var done = false
+    while (!done && !remaining.isEmpty) {
+      val covered = grid.minDistOutsideRing(r) > maxDist
       val cand = remaining
         .withColumn("qcell", ec(PointCell(ee(col("qx")), ee(col("qy")), grid)))
         .withColumn("cell", explode(ec(KRingCells(ee(col("qcell")), r, grid))))
@@ -84,30 +110,32 @@ object KnnJoin {
         .where(col("rank") <= k)
         .select("qid", "rank", "pid", "dist2")
 
-      // exactness: k candidates found and k-th distance within the ring guarantee
-      val status = ranked.groupBy("qid")
-        .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("maxd"))
-        .withColumn("exact", // strict <: a point just outside ring r can sit at the bound
-          col("found") === k && col("maxd") < lit(grid.minDistOutsideRing(r)))
-      val good = ranked.join(status.where(col("exact")).select("qid"), Seq("qid"))
-      results = if (results == null) good else results.unionAll(good)
-      remaining = remaining.join(status.where(col("exact")).select("qid"), Seq("qid"), "left_anti")
-      r *= 2
-      round += 1
+      if (covered) {
+        // every point was a candidate: ranked is exact for ALL remaining
+        // queries (queries with < k neighbours keep what exists)
+        results = if (results == null) ranked else results.unionAll(ranked)
+        done = true
+      } else {
+        // exactness: k candidates found and k-th distance within the ring guarantee.
+        // localCheckpoint truncates the iterative lineage — status and the
+        // new `remaining` would otherwise each embed the previous round's
+        // tree twice (via ranked AND the join), doubling the logical plan
+        // per round and making Catalyst analysis exponential in rounds.
+        // Both frames are at most one row per unresolved query.
+        val status = ranked.groupBy("qid")
+          .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("maxd"))
+          .withColumn("exact", // strict <: a point just outside ring r can sit at the bound
+            col("found") === k && col("maxd") < lit(grid.minDistOutsideRing(r)))
+          .localCheckpoint()
+        val good = ranked.join(status.where(col("exact")).select("qid"), Seq("qid"))
+        results = if (results == null) good else results.unionAll(good)
+        remaining = remaining.join(status.where(col("exact")).select("qid"), Seq("qid"), "left_anti")
+          .localCheckpoint()
+        r *= 2
+      }
     }
-    // stragglers (sparse regions): exact brute force on the small remainder
-    if (!remaining.isEmpty) {
-      val cand = remaining.crossJoin(pts)
-        .where(col("qid") =!= col("pid"))
-        .withColumn("dist2",
-          (col("px") - col("qx")) * (col("px") - col("qx")) +
-            (col("py") - col("qy")) * (col("py") - col("qy")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("dist2"), col("pid"))
-      val ranked = cand.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k).select("qid", "rank", "pid", "dist2")
-      results = if (results == null) ranked else results.unionAll(ranked)
-    }
-    results
+    if (results == null) queries.select(col("qid"), lit(0).as("rank"),
+      lit(0L).as("pid"), lit(0.0).as("dist2")).limit(0)
+    else results
   }
 }

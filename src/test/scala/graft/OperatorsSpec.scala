@@ -155,6 +155,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("kNN stragglers (sparse regions) resolve without any crossJoin") {
+    import spark.implicits._
+    // a dense cluster plus one far-isolated query: ring doubling must
+    // reach coverage, never fall back to an O(N) scan of the points
+    val cluster = (0 until 60).map(i => (i.toLong, (i % 10) * 0.2, (i / 10) * 0.2))
+    val far = Seq((999L, 500.0, 480.0))
+    val pts = cluster ++ far
+    val points = pts.toDF("pid", "px", "py")
+    val queries = Seq((999L, 500.0, 480.0), (0L, 0.0, 0.0)).toDF("qid", "qx", "qy")
+    val res = KnnJoin.run(spark, queries, points, k = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "kNN plan contains a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "kNN plan contains a nested-loop join")
+    val got = res.select("qid", "rank", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val want = Seq((999L, 500.0, 480.0), (0L, 0.0, 0.0)).flatMap { case (qid, qx, qy) =>
+      pts.filter(_._1 != qid)
+        .map { case (pid, px, py) => (pid, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .sortBy(t => (t._2, t._1)).take(5).zipWithIndex
+        .map { case ((pid, _), i) => (qid, i + 1, pid) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("kNN with fewer than k points returns all neighbours that exist") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0, 0.0), (2L, 3.0, 0.0), (3L, 0.0, 4.0)).toDF("pid", "px", "py")
+    val queries = Seq((1L, 0.0, 0.0)).toDF("qid", "qx", "qy")
+    val got = KnnJoin.run(spark, queries, points, k = 5)
+      .select("qid", "rank", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 1, 2L), (1L, 2, 3L)))
+  }
+
   test("hex index: cellOf/center/kRing invariants") {
     val hex = graft.index.HexIndex(1.0)
     // the center of a cell maps back to the cell

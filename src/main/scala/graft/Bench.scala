@@ -12,27 +12,42 @@ import graft.pipeline.VegPipeline
   *  "scaling":{...}}
   *
   * Two parts:
-  *  1. headline queries at local[cpus] on SPARK_GRAFT_SF_DIR,
+  *  1. headline queries at local[cpus] on SPARK_GRAFT_SF_DIR, measured as
+  *     min over INTERLEAVED rounds (all queries per round, >=4 rounds) —
+  *     the sandbox VM has multi-minute kernel-stall epochs, and
+  *     interleaving exposes every query to the same epochs so the min is
+  *     the honest machine capability (a sequential min-of-2 let one stall
+  *     poison single queries in round 2's bench);
   *  2. the north-rule scaling experiment: the flagship polygon⋈tile
-  *     vegetation job on the SAME parquet tile table at local[8] vs
-  *     local[32] (the N vs 4N cluster-size proxy), reporting tiles/sec at
-  *     both and the scaling efficiency. Also appended to BENCH/BASELINE.md.
+  *     vegetation job on the SAME parquet tile table at local[2/8/32]
+  *     (N vs 4N cluster-size proxies), reporting tiles/sec at each and
+  *     the scaling efficiencies. Also appended to BENCH/BASELINE.md.
+  *
+  * The image-table parquet tunings (small columnar batches + small
+  * splits) are scoped to the TILE-table session only — they tax row-heavy
+  * relational scans, so the headline queries run under default reader
+  * configs in a sibling session sharing the same SparkContext.
   */
 object Bench {
 
-  private def newSession(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+  private val TileConfs = Seq(
+    // image-bytes tables: small columnar batches (4096-row default means
+    // ~450MB of column vector per task) and smaller splits for parallelism
+    "spark.sql.parquet.columnarReaderBatchSize" -> "128",
+    "spark.sql.files.maxPartitionBytes" -> (32 * 1024 * 1024).toString)
+
+  private def newSession(cpus: Int, tileConfs: Boolean): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // image-bytes tables: small columnar batches (4096-row default means
-      // ~450MB of column vector per task) and smaller splits for parallelism
-      .config("spark.sql.parquet.columnarReaderBatchSize", "128")
-      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val withConfs = if (tileConfs) TileConfs.foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v)
+    } else b
+    val s = withConfs.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -59,7 +74,7 @@ object Bench {
     val tilesPath = s"$root/tilesjpg_g${grid}_ts$ts"
     val gardensPath = s"$root/gardens_n${nGardens}_g$grid"
     if (!Files.exists(Paths.get(tilesPath))) {
-      // 16 MB row groups: bounds per-reader buffering of the fat binary
+      // 4 MB row groups: bounds per-reader buffering of the fat binary
       // column (default 128 MB row groups OOM 32 concurrent readers)
       Synthetic.tilesJpg(spark, grid, grid, ts)
         .repartition(512)
@@ -108,29 +123,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val headlineRounds = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ROUNDS", "4").toInt
 
     // ---------- part 1: headline queries at local[cpus]
-    var spark = newSession(cpus)
+    // relational queries: DEFAULT reader configs (no image-table tunings)
+    val spark = newSession(cpus, tileConfs = false)
     val (tilesPath, gardensPath, grid, ts, nGardens) = benchData(spark, sfDir)
-    // warmup (JIT + codegen caches)
-    SparkEntry.queries("q01_summary_agg")(spark, sfDir).count()
+    // the flagship runs in a sibling session with the image-table parquet
+    // confs, sharing the same SparkContext/executors
+    val tileS = spark.newSession()
+    TileConfs.foreach { case (k, v) => tileS.conf.set(k, v) }
 
     val headline = Seq(
       "q01_summary_agg", "q02_groupby_multi", "q06_spatial_sort",
       "q11_dedup_exact", "q14_langid", "q16_embedding_topk", "q17_ngram_jaccard")
+    // warmup (JIT + codegen caches), then interleaved min-of-N rounds
+    headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
+    val idx0 = buildIndex(tileS, gardensPath, ts)
+    runFlagship(tileS, idx0, tilesPath, ts) // warm (JIT + scan caches)
+
+    val headlineReps =
+      (1 to headlineRounds).map { _ =>
+        headline.map(name => time(SparkEntry.queries(name)(spark, sfDir).count())._1) :+
+          time(runFlagship(tileS, idx0, tilesPath, ts))._1
+      }
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
-      // min of 2 reps — the sandbox VM has multi-second noise spikes
-      val reps = (1 to 2).map(_ => time(SparkEntry.queries(name)(spark, sfDir).count())._1)
-      queryTimes(name) = reps.min
+    (headline :+ "q30_veg_flagship").zipWithIndex.foreach { case (name, i) =>
+      queryTimes(name) = headlineReps.map(_(i)).min
     }
-    // flagship on parquet tables at local[cpus]
-    val idx0 = buildIndex(spark, gardensPath, ts)
-    runFlagship(spark, idx0, tilesPath, ts) // warm (JIT + scan caches)
-    val flagReps = (1 to 2).map(_ => time(runFlagship(spark, idx0, tilesPath, ts)))
-    val tFlag = flagReps.map(_._1).min
-    val (nRows, nPix) = flagReps.head._2
-    queryTimes("q30_veg_flagship") = tFlag
+    val tFlag = queryTimes("q30_veg_flagship")
+    val (nRows, nPix) = runFlagship(tileS, idx0, tilesPath, ts)
     spark.stop()
 
     // ---------- part 2: the N vs 4N scaling experiment
@@ -147,7 +169,7 @@ object Bench {
     //     ceiling so the host's share of the gap is visible.
     val nTiles = grid.toLong * grid
     def repsAt(cpus: Int, n: Int): Seq[Double] = {
-      val s = newSession(cpus)
+      val s = newSession(cpus, tileConfs = true)
       val idx = buildIndex(s, gardensPath, ts)
       val (rows, pix) = runFlagship(s, idx, tilesPath, ts) // warm
       // north rule: identical join output at every cluster size
@@ -166,8 +188,11 @@ object Bench {
     val t32 = reps32.min
 
     // machine ceiling: raw kernel (decode) thread-scaling without Spark,
-    // as the upper bound any end-to-end number can be judged against
-    val kernelScaling = {
+    // as the upper bound any end-to-end number can be judged against.
+    // SAME item count at both levels of a pair, eff = tN / (4 * t4N) —
+    // a per-level item count would give the levels different warm-up
+    // shares (round 2's 12k@2 vs 48k@8 ceiling exceeded 1.0).
+    val (kernel28, kernel832) = {
       val jpgs = (0 until 64).map(i =>
         graft.img.Quality.encodeJPEG(Synthetic.tileRasterSmooth(400 + i % 8, 100 + i / 8, 256, 42L), 0.92f))
       def work(n: Int, threads: Int): Double = {
@@ -184,32 +209,33 @@ object Bench {
       }
       work(4000, 32) // warm
       val k2 = (1 to 3).map(_ => work(12000, 2)).min
+      val k8small = (1 to 3).map(_ => work(12000, 8)).min
       val k8 = (1 to 3).map(_ => work(48000, 8)).min
       val k32 = (1 to 3).map(_ => work(48000, 32)).min
-      (k2, k8, k32)
+      ((k2, k8small), (k8, k32))
     }
-    // k2 runs 1/4 the items of k8, so eff(2->8) = k2/k8; k8 and k32 run
-    // the same items, so eff(8->32) = k8/(4*k32)
-    val kernelEff28 = kernelScaling._1 / kernelScaling._2
-    val kernelEff832 = kernelScaling._2 / (4.0 * kernelScaling._3)
+    val kernelEff28 = kernel28._1 / (4.0 * kernel28._2)
+    val kernelEff832 = kernel832._1 / (4.0 * kernel832._2)
 
     val tput2 = nTiles / t2
     val tput8 = nTiles / t8
     val tput32 = nTiles / t32
-    // PRIMARY N->4N efficiency: 2 -> 8 cores
-    val efficiency = tput8 / (4.0 * tput2)
+    // N->4N efficiencies, explicitly keyed by the core pair (round 1's
+    // bare "efficiency" key meant 8->32; round 2 silently rebound it to
+    // 2->8 — name both so no cross-round comparison misreads them)
+    val efficiency28 = tput8 / (4.0 * tput2)
     val efficiency832 = tput32 / (4.0 * tput8)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.values.sum
     val scaling =
       f"""{"tiles":$nTiles,"gardens":$nGardens,"tile_px":$ts,"rows":$nRows,"npix":$nPix,"output_match_all_levels":true,""" +
-        f""""n_cores":2,"n4_cores":8,"efficiency":$efficiency%.3f,""" +
+        f""""efficiency_2_8":$efficiency28%.3f,"efficiency_8_32":$efficiency832%.3f,""" +
         f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
         f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],"reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
         f""""tiles_per_sec_2":$tput2%.1f,"tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,""" +
-        f""""efficiency_8_32":$efficiency832%.3f,""" +
-        f""""kernel_t2":${kernelScaling._1}%.3f,"kernel_t8":${kernelScaling._2}%.3f,"kernel_t32":${kernelScaling._3}%.3f,""" +
+        f""""kernel_t2_12k":${kernel28._1}%.3f,"kernel_t8_12k":${kernel28._2}%.3f,""" +
+        f""""kernel_t8_48k":${kernel832._1}%.3f,"kernel_t32_48k":${kernel832._2}%.3f,""" +
         f""""kernel_efficiency_2_8":$kernelEff28%.3f,"kernel_efficiency_8_32":$kernelEff832%.3f}"""
     val jsonLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}"""
@@ -228,12 +254,16 @@ object Bench {
       md.append("# BENCH — engine throughput + cluster-size scaling evidence\n\n")
       md.append("Flagship job: polygon-tile spatial join + 2-index vegetation\n")
       md.append("classification over the deterministic synthetic parquet tile table\n")
-      md.append("(input_hint schema). N vs 4N executors proxied by local[8] vs\n")
-      md.append("local[32] on identical input (north-rule criterion, target ≥0.8).\n\n")
-      md.append("| sf | tiles | px | gardens | rows | t@8 (s) | t@32 (s) | tiles/s @8 | tiles/s @32 | efficiency | kernel-ceiling eff |\n")
+      md.append("(input_hint schema). N vs 4N executors proxied by core pairs on\n")
+      md.append("identical input (north-rule criterion, target ≥0.8): PRIMARY 2→8\n")
+      md.append("(the pair the hypervisor can actually co-schedule), SECONDARY 8→32\n")
+      md.append("reported against the same-run no-Spark kernel ceiling.\n\n")
+      md.append("| sf | tiles | px | gardens | rows | t2/t8/t32 (s) | eff(2→8) | kernel(2→8) | eff(8→32) | kernel(8→32) | tiles/s @32 |\n")
       md.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
     }
-    md.append(f"| $sfDir jpg | $nTiles | $ts | $nGardens | $nRows | t2=$t2%.2f t8=$t8%.2f t32=$t32%.2f | eff(2→8)=$efficiency%.3f (kernel ${kernelEff28}%.3f) | eff(8→32)=$efficiency832%.3f (kernel $kernelEff832%.3f) |\n")
+    md.append(f"| $sfDir jpg | $nTiles | $ts | $nGardens | $nRows " +
+      f"| $t2%.2f / $t8%.2f / $t32%.2f | $efficiency28%.3f | $kernelEff28%.3f " +
+      f"| $efficiency832%.3f | $kernelEff832%.3f | $tput32%.1f |\n")
     Files.writeString(f, md.toString,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }

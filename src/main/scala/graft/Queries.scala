@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Synthetic
-import graft.functions.{Fingerprint, MinHashSig, SimHash64}
+import graft.functions.{Fingerprint, MinHashSig, PyRandomGolden, SimHash64}
 import graft.pipeline.{CellToTileCode, Exprs, KnnJoin, VegPipeline}
 
 /** The operator surface of the engine, one entry per SURVEY.md §2 operator
@@ -387,19 +387,65 @@ object Queries {
       |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ------------------------------- custom-expression text ops (rows-only)
+  // ------------------------------- custom-expression text ops
 
-  /** Winnowed rolling-hash document fingerprints (K-gram Rabin-Karp). */
+  /** Winnowed rolling-hash document fingerprints (K-gram Rabin-Karp,
+    * k=5, window=4). Output is portable aggregates of the fingerprint
+    * set (count/min/max/xor) so the DuckDB oracle can re-derive the
+    * ENTIRE computation in SQL: the 61-bit Rabin-Karp k-gram hashes are
+    * plain integer arithmetic below 2^61 (no wrapping multiply needed at
+    * k=5), winnowing is a window-min + consecutive lag-dedup. */
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-        Exprs.col(Fingerprint(Exprs.expr(col("text")))).as("fingerprints"))
-      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
-        hash(col("fingerprints")).as("fp_hash"))
+        Exprs.col(Fingerprint(Exprs.expr(col("text")))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"),
+        when(size(col("fps")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+          .as("fp_xor"))
       .orderBy("doc_id")
+
+  /** o23: the full fingerprint pipeline re-derived in DuckDB SQL.
+    * 257^4=4362470401 … constants are the k-gram base powers; documents
+    * shorter than k have zero fingerprints (NULL aggregates). */
+  private val o23 =
+    """WITH pos AS (
+      |  SELECT doc_id, length(text) AS L, unnest(range(length(text) - 4)) AS i, text
+      |  FROM documents WHERE length(text) >= 5),
+      |h AS (
+      |  SELECT doc_id, L - 4 AS nh, i,
+      |         ord(substr(text, CAST(i+1 AS INT), 1)) * 4362470401
+      |       + ord(substr(text, CAST(i+2 AS INT), 1)) * 16974593
+      |       + ord(substr(text, CAST(i+3 AS INT), 1)) * 66049
+      |       + ord(substr(text, CAST(i+4 AS INT), 1)) * 257
+      |       + ord(substr(text, CAST(i+5 AS INT), 1)) AS hv
+      |  FROM pos),
+      |short AS (
+      |  SELECT doc_id, min(hv) AS fp, 0 AS wi FROM h WHERE nh <= 4 GROUP BY doc_id),
+      |wm AS (
+      |  SELECT doc_id, i AS wi,
+      |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |         nh
+      |  FROM h QUALIFY nh > 4 AND i <= nh - 4),
+      |dedup AS (
+      |  SELECT doc_id, fp FROM (
+      |    SELECT doc_id, fp, lag(fp) OVER (PARTITION BY doc_id ORDER BY wi) AS prev FROM wm)
+      |  WHERE prev IS NULL OR fp <> prev
+      |  UNION ALL SELECT doc_id, fp FROM short),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_fp, min(fp) AS min_fp,
+      |         max(fp) AS max_fp, bit_xor(fp) AS fp_xor
+      |  FROM dedup GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp, a.min_fp, a.max_fp, a.fp_xor
+      |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1""".stripMargin
 
   /** SimHash near-dup pairs via 4x16-bit multi-band candidates (exact
     * recall for hamming <= 3 by pigeonhole, graceful above; see
-    * [[graft.functions.NearDup.bandedSelfJoin]]). */
+    * [[graft.functions.NearDup.bandedSelfJoin]]). The simhash is
+    * md5-vote based, so o24 re-derives the WHOLE pipeline — token
+    * hashes, 64 bit votes, banding, bucket join, hamming refine — in
+    * DuckDB SQL, independently of the engine. */
   private def q24(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(col("doc_id"),
       Exprs.col(SimHash64(Exprs.expr(split(lower(col("text")), "\\s+")))).as("simhash"))
@@ -407,15 +453,47 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash-LSH near-dup candidates: signature -> bands -> bucket join. */
+  /** o24: md5_64(token) = big-endian first 8 md5 bytes, recovered via the
+    * hex-literal cast; the signed/unsigned distinction never surfaces
+    * because only bits are used. */
+  private val o24 =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bits.b AS b,
+      |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(64)) AS b) bits
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS UBIGINT) AS u
+      |  FROM votes GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, u, bd.band AS band, (u >> (bd.band * 16)) & 65535 AS bucket
+      |  FROM sh, (SELECT unnest(range(4)) AS band) bd),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.u AS au, b.u AS bu
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(au, bu)) AS INT) AS hamming
+      |FROM pairs WHERE bit_count(xor(au, bu)) <= 16 ORDER BY 1, 2""".stripMargin
+
+  /** MinHash-LSH near-dup candidates: signature -> bands -> bucket join.
+    * Portable md5-only hash family + the band's raw signature values as
+    * the bucket key (engine-agnostic; md5 the key if its width ever
+    * matters at scale), so o25 re-derives everything in DuckDB. */
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 16
     val bandSize = 4
     val sigs = t(s, dir, "documents").select(col("doc_id"),
-      Exprs.col(MinHashSig(Exprs.expr(array_distinct(split(lower(col("text")), "\\s+"))), numHashes)).as("sig"))
+      Exprs.col(MinHashSig(Exprs.expr(array_distinct(split(lower(col("text")), "\\s+"))),
+        numHashes, portable = true)).as("sig"))
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until numHashes / bandSize).map(b =>
-        hash((b * bandSize until (b + 1) * bandSize).map(i => col("sig")(i)): _*)): _*)))
+        concat_ws(",", (b * bandSize until (b + 1) * bandSize)
+          .map(i => col("sig")(i).cast("string")): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
@@ -424,19 +502,84 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  private val o25 =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS s
+      |  FROM documents),
+      |hv AS (
+      |  SELECT doc_id, i.i AS i,
+      |         CAST(CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || '|' || s), 1, 16)) AS UBIGINT) AS HUGEINT) AS u
+      |  FROM sh, (SELECT unnest(range(16)) AS i) i),
+      |sig AS (
+      |  SELECT doc_id, i,
+      |         CAST(min(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                       THEN u - 18446744073709551616::HUGEINT ELSE u END) AS BIGINT) AS v
+      |  FROM hv GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin
+
   /** Image near-dup pairs: perceptual-hash banding (8x8-bit bands ->
     * bucket join -> exact hamming refine; recall is EXACT for the
     * hamming<=7 radius because 7 < 8 bands). The input unions a
     * deterministic 1-bit-perturbed copy of each tile so true near-dup
     * pairs exist at any scale factor. No crossJoin anywhere in the plan. */
   private def q26(s: SparkSession, dir: String): DataFrame = {
-    val (gw, gh, _) = syntheticScale(dir)
-    val base = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
+    val base = phashSidecar(s, dir)
     val dups = base.select(concat(col("image_id"), lit("~d")).as("image_id"),
       col("phash").bitwiseXOR(lit(1L << 21)).as("phash"))
     graft.functions.NearDup.bandedSelfJoin(base.unionAll(dups),
         "image_id", "phash", bandBits = 8, maxHamming = 7)
       .orderBy("a_id", "b_id")
+  }
+
+  /** The synthetic tile table's (image_id, phash) projection, ALSO
+    * written to [[phashSidecarPath]] so the DuckDB oracle for the
+    * image-dedup operators can verify the groupBy/banding/hamming
+    * machinery over the exact same input (the phash values themselves
+    * are pinned by the image-side unit tests; no SQL engine can decode
+    * the tiles). Written by the query, read by the oracle — the driver
+    * runs Verify before the oracle, so the file reflects the same sf. */
+  private def phashSidecar(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, _) = syntheticScale(dir)
+    val base = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
+    base.coalesce(1).write.mode("overwrite").parquet(phashSidecarPath)
+    base
+  }
+
+  private lazy val phashSidecarPath =
+    new java.io.File("data/oracle/tiles_phash.parquet").getAbsolutePath
+
+  /** o26: dup derivation (xor bit 21), 8x8-bit banding, bucket join and
+    * hamming refine all re-derived in SQL over the sidecar. */
+  private lazy val o26 = {
+    val p = phashSidecarPath
+    s"""WITH base AS (SELECT image_id, phash FROM read_parquet('$p/*.parquet')),
+       |all_t AS (
+       |  SELECT image_id, phash FROM base
+       |  UNION ALL SELECT image_id || '~d', xor(phash, 2097152) FROM base),
+       |u AS (
+       |  SELECT image_id, phash,
+       |         CAST(phash AS HUGEINT) + CASE WHEN phash < 0
+       |           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS up
+       |  FROM all_t),
+       |bands AS (
+       |  SELECT image_id, phash, bd.band AS band,
+       |         (up // (1::HUGEINT << (bd.band * 8))) % 256 AS bucket
+       |  FROM u, (SELECT unnest(range(8)) AS band) bd),
+       |pairs AS (
+       |  SELECT DISTINCT a.image_id AS a_id, a.phash AS ah,
+       |                  b.image_id AS b_id, b.phash AS bh
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.image_id < b.image_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(ah, bh)) <= 7 ORDER BY 1, 2""".stripMargin
   }
 
   // ---------------------------------------------------------------- image-side (no SQL oracle)
@@ -456,14 +599,18 @@ object Queries {
       .orderBy("id")
   }
 
-  /** Tile-table exact dedup by perceptual hash (image dedup operator). */
-  private def q31(s: SparkSession, dir: String): DataFrame = {
-    val (gw, gh, _) = syntheticScale(dir)
-    Synthetic.tiles(s, gw, gh, 64)
+  /** Tile-table exact dedup by perceptual hash (image dedup operator);
+    * oracle'd over the [[phashSidecar]]. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    phashSidecar(s, dir)
       .groupBy("phash").agg(count(lit(1)).as("n"), min("image_id").as("keep_id"))
       .where(col("n") >= 1)
       .orderBy("phash")
-  }
+
+  private lazy val o31 =
+    s"""SELECT phash, count(*) AS n, min(image_id) AS keep_id
+       |FROM read_parquet('$phashSidecarPath/*.parquet')
+       |GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
 
   /** Global summary over the flagship output (A2). */
   private def q32(s: SparkSession, dir: String): DataFrame = {
@@ -498,9 +645,11 @@ object Queries {
 
   /** P3: the reference's seeded random-N sample with exact CPython
     * random.seed(42)/random.sample parity (MT19937 port; golden-pinned in
-    * unit tests AND oracle-checked: o38 embeds the engine-computed
-    * selected index lists as literals, keyed by the table's row count so
-    * one SQL text is correct at every driver scale factor). */
+    * unit tests AND oracle-checked: o38 embeds INDEPENDENT CPython-
+    * generated index lists — [[PyRandomGolden]] — keyed by the table's
+    * row count so one SQL text is correct at every driver scale factor;
+    * the engine's MT19937 must therefore agree with real CPython, not
+    * merely with itself). */
   private def q38(s: SparkSession, dir: String): DataFrame =
     graft.functions.PyRandom.seededSample(
         s, t(s, dir, "orders").orderBy("o_orderkey"), 25, 42)
@@ -511,7 +660,7 @@ object Queries {
     // (n, selected position, selection rank) literals for the three
     // testdata scale factors; the WHERE picks the row-count match
     val values = Seq(1500, 15000, 150000).flatMap { n =>
-      graft.functions.PyRandom.sampleIndices(42L, n, 25).zipWithIndex.map {
+      PyRandomGolden.sample42(n).zipWithIndex.map {
         case (pos, rank) => s"($n, $pos, $rank)"
       }
     }
@@ -631,6 +780,11 @@ object Queries {
     "q20_knn_points" -> o20,
     "q21_dim_join" -> o21,
     "q22_semi_anti" -> o22,
+    "q23_fingerprint" -> o23,
+    "q24_simhash_dedup" -> o24,
+    "q25_minhash_lsh" -> o25,
+    "q26_phash_neardup" -> o26,
+    "q31_phash_dedup" -> o31,
     "q38_seeded_sample" -> o38
   )
 }

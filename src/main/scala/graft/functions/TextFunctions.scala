@@ -104,6 +104,25 @@ object TextHash {
     }
     sig
   }
+
+  /** Portable MinHash family: h_i(s) = md5_64(i + "|" + s), signed min.
+    * Unlike [[minHash]] (one md5 + a wrapping-multiply mix per extra
+    * hash — the fast path), every hash is a plain md5 of a short string,
+    * so ANY engine with md5 reproduces the signature bit-for-bit (the
+    * mix's wrapping 64-bit multiply has no portable SQL form). Used where
+    * an independent cross-engine oracle matters more than hash cost. */
+  def minHashPortable(shingles: Iterable[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      var i = 0
+      while (i < numHashes) {
+        val h = md5_64(i.toString + "|" + s)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
 }
 
 /** winnowed rolling-hash fingerprints of a string: array<long>. */
@@ -128,15 +147,20 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** MinHash signature of a shingle array: array<long> of length numHashes. */
-case class MinHashSig(child: Expression, numHashes: Int = 16)
+/** MinHash signature of a shingle array: array<long> of length numHashes.
+  * `portable = true` selects the md5-only hash family
+  * ([[TextHash.minHashPortable]]) that cross-engine oracles replicate. */
+case class MinHashSig(child: Expression, numHashes: Int = 16,
+                      portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val shingles = (0 until arr.numElements()).iterator
       .map(i => arr.getUTF8String(i)).filter(_ != null).map(_.toString).toSeq
-    new GenericArrayData(TextHash.minHash(shingles, numHashes))
+    new GenericArrayData(
+      if (portable) TextHash.minHashPortable(shingles, numHashes)
+      else TextHash.minHash(shingles, numHashes))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -78,8 +78,12 @@ object Checkpoint {
     val partials = spark.read.parquet(s"$outDir/group=*")
     val withMissing =
       if (cfg.handleMissingTiles)
+        // zero-fill against the SAME pruned tile set each group scored
+        // (fragmentSums prunes internally): a parseable-but-non-canonical
+        // id dropped by the covering-range predicate must count as a
+        // missing tile here, not vanish from both passes
         partials.unionByName(
-          VegPipeline.missingTileSums(tiles, index, cfg)
+          VegPipeline.missingTileSums(VegPipeline.pruneTiles(tiles, index, cfg), index, cfg)
             .select(Seq(col("gid"), col("npix")) ++
               (0 until nK).map(i => col("veg")(i).as(s"veg_$i")): _*))
       else partials

@@ -90,14 +90,13 @@ object Reports {
       Seq(col("id"), col("cx"), col("cy"), col("area_m2"), col("uprn")) ++
         kernelNames.map(n => col(s"frac_$n")): _*).collect()
 
-    // summary (analyse_polygons.py:135-155)
-    var totalArea = 0.0
-    val totalVeg = new Array[Double](kernelNames.length)
-    rows.foreach { r =>
-      val area = r.getDouble(3)
-      totalArea += area
-      kernelNames.indices.foreach(i => totalVeg(i) += area * r.getDouble(5 + i))
-    }
+    // summary (analyse_polygons.py:135-155): totals from the DISTRIBUTED
+    // aggregate (one row to the driver) — the collected rows above are
+    // only for the by-definition-single-file CSV formatting, and at scale
+    // the totals must not depend on that collect
+    val sm = VegPipeline.summarize(perGarden, kernelNames).head()
+    val totalArea = sm.getDouble(0)
+    val totalVeg = kernelNames.indices.map(i => sm.getDouble(1 + i)).toArray
     val summary = new java.io.PrintWriter(prefix + "-summary.txt", "UTF-8")
     try {
       summary.println(s"Total surface area: ${PyFormat.commaFixed2(totalArea)}m²")

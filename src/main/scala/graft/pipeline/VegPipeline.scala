@@ -29,7 +29,7 @@ import graft.kernel.Kernels
   * a shuffled join co-partitioned on cell (tiles shuffle once; pre-bucket
   * the tile table by cell to eliminate even that at scale).
   */
-object VegPipeline {
+object VegPipeline extends org.apache.spark.internal.Logging {
 
   final case class Config(
       tileSize: Int = 256,
@@ -39,6 +39,15 @@ object VegPipeline {
       /** Some(zoom): the web-mercator loader path (slippy "z/x/y" tiles,
         * y-down raster, area in tile^2 units, image_loaders.py:32-158). */
       webMercatorZoom: Option[Int] = None,
+      /** Ceiling on the estimated broadcast-lookup size: when the
+        * prepared polygon side exceeds it, the broadcast path is
+        * auto-disabled and the same plan runs as the shuffled cell join
+        * (the reference user never picks an execution strategy — the
+        * cache self-sizes, analyse_polygons.py:203-206 — so the engine
+        * must not OOM the driver just because broadcastPolys defaulted
+        * to true on an oversized garden set). 2 GiB default: well under
+        * driver/executor headroom and Spark's 8 GiB broadcast hard cap. */
+      broadcastMaxBytes: Long = 2L << 30,
       /** >1 and !broadcastPolys: replicate the polygon side saltFactor
         * times and spray tiles across salts, spreading skewed (dense
         * urban) cells over partitions in the shuffle-join path. */
@@ -47,7 +56,16 @@ object VegPipeline {
         * image_id predicate (the reference never reads a tile outside the
         * covering range, image_loaders.py:266-269). Canonical-id IN set
         * for small extents, min/max range otherwise — both reach the
-        * parquet reader as PushedFilters. */
+        * parquet reader as PushedFilters.
+        *
+        * PRECONDITION: image_ids must be in canonical form (the id
+        * [[normalizeImageIds]] round-trips to itself; the reference only
+        * ever reads canonically-named tiles, it builds paths FROM
+        * coordinates, image_loaders.py:229-233). A parseable but
+        * NON-canonical id (e.g. an OSGB code containing the skipped
+        * letter 'I') decodes to the same cell yet fails the IN-set match
+        * and is treated as missing (zero-filled). Run
+        * [[normalizeImageIds]] at ingest when ids may be non-canonical. */
       pruneTileScan: Boolean = true,
       /** Covering-cell count above which pruning falls back from an exact
         * IN set to a sound min/max image_id range. The literal IN set is
@@ -103,6 +121,21 @@ object VegPipeline {
     @transient private[pipeline] lazy val predicateCache =
       new java.util.concurrent.ConcurrentHashMap[(Option[Int], Int), Option[Column]]()
 
+    /** Estimated in-memory size of [[broadcastLookup]], from one bounded
+      * agg over the persisted `prepared` frame (3 longs to the driver):
+      * each garden contributes its blob bytes once (blobs are
+      * reference-shared across covering cells) plus an 8-byte array ref
+      * per covering cell, and each distinct cell a map-entry overhead.
+      * Drives the automatic broadcast↔shuffle path choice — computed
+      * lazily and memoized so the shuffle-only path never pays for it. */
+    @transient lazy val broadcastEstimateBytes: Long = {
+      val r = prepared.agg(
+        sum(length(col("blob"))), sum(size(col("cells"))), count(lit(1))).head()
+      val blobBytes = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val cellRefs = if (r.isNullAt(1)) 0L else r.getLong(1)
+      blobBytes + cellRefs * 8L + cellRefs * 64L // 64B/entry map overhead bound
+    }
+
     /** The cell→blobs lookup as an executor-shared Broadcast variable,
       * materialized ONCE per index lifetime. A BroadcastHashJoin would
       * rebuild+rebroadcast its HashedRelation for EVERY query over the
@@ -157,19 +190,20 @@ object VegPipeline {
     case None => tileCell(c)
   }
 
-  /** Canonical image_id of a packed cell, as a Column over `cell` —
-    * the exact inverse of [[keyToCell]] for well-formed ids (the
-    * reference only ever reads canonically-named tiles: it builds file
-    * paths FROM coordinates, image_loaders.py:229-233, 266-269). */
-  private def cellToImageId(cfg: Config): Column = cfg.webMercatorZoom match {
-    case Some(z) =>
-      concat(lit(s"$z/"), shiftright(col("cell"), 31).cast("long"),
-        lit("/"), (col("cell").bitwiseAND(lit(0x7fffffffL))).cast("long"))
-    case None =>
-      ec(CellToTileCode(
-        ee(shiftright(col("cell"), 31).cast("int")),
-        ee(col("cell").bitwiseAND(lit(0x7fffffffL)).cast("int"))))
-  }
+  /** Canonical image_id of a packed cell — the exact inverse of
+    * [[keyToCell]] for well-formed ids (the reference only ever reads
+    * canonically-named tiles: it builds file paths FROM coordinates,
+    * image_loaders.py:229-233, 266-269). */
+  private def cellToImageId(cfg: Config, cell: Column = col("cell")): Column =
+    cfg.webMercatorZoom match {
+      case Some(z) =>
+        concat(lit(s"$z/"), shiftright(cell, 31).cast("long"),
+          lit("/"), (cell.bitwiseAND(lit(0x7fffffffL))).cast("long"))
+      case None =>
+        ec(CellToTileCode(
+          ee(shiftright(cell, 31).cast("int")),
+          ee(cell.bitwiseAND(lit(0x7fffffffL)).cast("int"))))
+    }
 
   /** Covering-range scan pruning: a parquet-pushable predicate on
     * image_id derived from the polygon set's covering cells. Exact IN
@@ -191,6 +225,25 @@ object VegPipeline {
         Some(col("image_id") >= r.getString(0) && col("image_id") <= r.getString(1))
       }
     })
+
+  /** Rewrite image_id to canonical form by round-tripping through the
+    * cell key (id -> cell -> canonical id); unparseable ids pass through
+    * unchanged (and are skipped by scoring anyway). Run at ingest when a
+    * tile catalog may contain parseable-but-non-canonical names, so the
+    * covering-range pruning predicate ([[Config.pruneTileScan]]) and the
+    * scored set agree. */
+  def normalizeImageIds(tiles: DataFrame, cfg: Config): DataFrame =
+    tiles.withColumn("image_id",
+      coalesce(cellToImageId(cfg, keyToCell(cfg)(col("image_id"))), col("image_id")))
+
+  /** The tile frame with the covering-range scan predicate applied — the
+    * exact pruning [[fragmentSums]] performs internally. Exposed so
+    * resumable/streaming callers zero-fill against the SAME tile set the
+    * scoring pass saw (a tile dropped by pruning must count as missing,
+    * not silently vanish from both passes). */
+  def pruneTiles(tiles: DataFrame, index: PolyIndex, cfg: Config): DataFrame =
+    if (!cfg.pruneTileScan) tiles
+    else tileIdPredicate(index, cfg).fold(tiles)(tiles.where)
 
   /** The distributive core: per-garden raw long sums
     * (gid, npix, veg_0..veg_{nK-1}) of all fragment scores. This is the
@@ -217,13 +270,20 @@ object VegPipeline {
       "IRGB kernels need the CIR tile table for Ir fusion (S3)")
 
     val cellPolys = index.cellPolys
-    val useSalt = !cfg.broadcastPolys && cfg.saltFactor > 1
+    // automatic path selection: the broadcast-lookup formulation only when
+    // the estimated lookup size fits the configured ceiling; otherwise the
+    // shuffled cell join, without the caller having to know (What a user
+    // of the reference never configures, the engine must not OOM over).
+    val useBroadcast = cfg.broadcastPolys && {
+      val est = index.broadcastEstimateBytes
+      if (est > cfg.broadcastMaxBytes)
+        logWarning(s"polygon index estimated at $est bytes exceeds " +
+          s"broadcastMaxBytes=${cfg.broadcastMaxBytes}; using the shuffled cell join")
+      est <= cfg.broadcastMaxBytes
+    }
+    val useSalt = !useBroadcast && cfg.saltFactor > 1
 
-    val prune: DataFrame => DataFrame =
-      if (cfg.pruneTileScan) {
-        val pred = tileIdPredicate(index, cfg)
-        df => pred.fold(df)(df.where)
-      } else identity
+    def prune(df: DataFrame): DataFrame = pruneTiles(df, index, cfg)
     val prunedTiles = prune(tiles)
     // a pre-materialized `cell` column (the bucketed tile-table write
     // path, TileBuckets.write) is used as-is: deriving it again through
@@ -247,7 +307,7 @@ object VegPipeline {
     }
 
     val scored =
-      if (cfg.broadcastPolys) {
+      if (useBroadcast) {
         // map-side-join formulation: the cell→blobs lookup is an
         // executor-shared Broadcast built ONCE per index lifetime
         // (index.broadcastLookup) — a BroadcastHashJoin would rebuild its

@@ -103,6 +103,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(PyRandom.sampleIndices(42, 10, 10).toSeq == Seq(1, 0, 4, 9, 6, 5, 8, 2, 3, 7))
     assert(PyRandom.sampleIndices(42, 1000, 8).toSeq == Seq(654, 114, 25, 759, 281, 250, 228, 142))
     assert(PyRandom.sampleIndices(123456789, 50, 6).toSeq == Seq(41, 28, 34, 45, 38, 25))
+    // the same independent CPython goldens the q38 DuckDB oracle embeds
+    graft.functions.PyRandomGolden.sample42.foreach { case (n, want) =>
+      assert(PyRandom.sampleIndices(42, n, 25).toSeq == want, s"n=$n")
+    }
   }
 
   test("seeded DataFrame sample selects CPython's rows in selection order") {

@@ -198,6 +198,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("oversized polygon index auto-falls-back to the shuffled cell join") {
+    val gardens = Synthetic.gardens(spark, 20, gridW, gridH)
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+    assert(idx.broadcastEstimateBytes > 64, "estimate should exceed the tiny test ceiling")
+    val small = VegPipeline.Config(tileSize = ts, handleMissingTiles = false,
+      broadcastMaxBytes = 64)
+    val sums = VegPipeline.fragmentSums(spark, idx, tiles, small)
+    val plan = sums.queryExecution.executedPlan.toString
+    // the broadcast-lookup formulation is join-free; over-ceiling must
+    // plan the cell join instead of collect()ing an arbitrary frame
+    assert(plan.contains("Join"), s"expected the shuffled cell join after auto-fallback:\n$plan")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = VegPipeline.scoreAgainst(spark, idx, tiles, small)
+      .select("gid", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = VegPipeline.scoreAgainst(spark, idx, tiles,
+        small.copy(broadcastMaxBytes = Long.MaxValue))
+      .select("gid", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("non-canonical (skip-I) image ids: normalizeImageIds restores pruning consistency") {
+    import spark.implicits._
+    // 'I' is skipped by the OSGB letter rule: "SI5050" parses to the same
+    // cell as canonical "SJ5050" but fails the canonical-id IN predicate
+    val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf"))
+    val norm = VegPipeline.normalizeImageIds(
+      Seq("SI5050", "SJ5050", "SU0401", "garbage").toDF("image_id"), cfg)
+      .collect().map(_.getString(0))
+    assert(norm.toSeq == Seq("SJ5050", "SJ5050", "SU0401", "garbage"))
+
+    // pipeline-level: a garden over the SJ5050 cell, its tile named
+    // non-canonically. Pruning drops the tile (zero-fill) unless ids are
+    // normalized at ingest — then pruned == unpruned, tile scored.
+    val sq = Seq(Seq(Seq(
+      Seq(350200.0, 350200.0), Seq(350800.0, 350200.0),
+      Seq(350800.0, 350800.0), Seq(350200.0, 350800.0), Seq(350200.0, 350200.0))))
+    val gardens = Seq(("g1", Seq.empty[String], sq, Exprs.EPSG27700))
+      .toDF("id", "uprn", "geometry", "crs")
+    val bytes = Codec.encodePNG(Synthetic.tileRaster(350, 350, ts, 42L))
+    val tiles = Seq(("SI5050", bytes)).toDF("image_id", "bytes")
+
+    def frac(tilesDf: org.apache.spark.sql.DataFrame, prune: Boolean): (Long, Double) = {
+      val r = VegPipeline.run(spark, gardens, tilesDf,
+        cfg.copy(pruneTileScan = prune)).select("npix", "frac_greenleaf").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val unpruned = frac(tiles, prune = false)
+    val prunedRaw = frac(tiles, prune = true)
+    val prunedNorm = frac(VegPipeline.normalizeImageIds(tiles, cfg), prune = true)
+    assert(unpruned._1 > 0)
+    assert(prunedNorm == unpruned, "normalized ids must score identically under pruning")
+    // documented precondition: without normalization the non-canonical
+    // tile is consistently treated as missing (zero-filled, frac 0)
+    assert(prunedRaw._1 == unpruned._1 && prunedRaw._2 == 0.0)
+  }
+
   test("bucketed tile table: shuffle-join path has no Exchange on the tile side") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -563,6 +563,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resumed.toSeq == batch.toSeq)
   }
 
+  test("checkpoint zero-fills against the pruned tile set (non-canonical ids stay consistent)") {
+    // a parseable-but-non-canonical id is dropped by the covering-range
+    // predicate in every scoring group; fractions() must treat it as
+    // missing too (not silently vanish) => checkpoint == direct batch
+    // under the SAME pruning config
+    val ts = 64
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_nc").toString
+    val gardens = Synthetic.gardens(spark, 20, 4, 4)
+    // "SU+201" is parseable ("+2".toInt == 2) and decodes to the SAME
+    // covered cell as canonical "SU0201", but fails the canonical IN-set
+    // — the exact alias class (like skip-I letters) the fix targets: on
+    // the old code its cell appeared present (full-table presentCells)
+    // yet was never scored, so it vanished from both passes
+    val tiles = Synthetic.tiles(spark, 4, 4, ts)
+      .withColumn("image_id",
+        when(col("image_id") === "SU0201", lit("SU+201")).otherwise(col("image_id")))
+    val cfg = VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf"))
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+    graft.pipeline.Checkpoint.runGroups(spark, idx, tiles, cfg, dir,
+      buckets = 8, groupSize = 4)
+    val ck = graft.pipeline.Checkpoint.fractions(spark, idx, tiles, cfg, dir)
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val batch = VegPipeline.run(spark, gardens, tiles, cfg)
+      .select("id", "npix", "frac_greenleaf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(ck.toSeq == batch.toSeq)
+  }
+
   test("streaming hourly window agg runs and is deterministic") {
     val a = Streams.hourlyEventCounts(spark, "/root/testdata/sf0.001/events.parquet").collect()
     assert(a.length > 0)

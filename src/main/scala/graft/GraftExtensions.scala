@@ -44,6 +44,10 @@ object GraftFunctions {
     "graft_hamming64" -> (2, x => Hamming64(x(0), x(1))),
     "graft_fingerprint" -> (1, x => Fingerprint(x(0))),
     "graft_minhash" -> (2, x => MinHashSig(x(0), intLit(x(1), "graft_minhash numHashes"))),
+    // md5-only hash family: bit-replicable by any engine with md5 (used
+    // by the q25 oracle); the default family is the faster mix-based one
+    "graft_minhash_portable" -> (2, x => MinHashSig(x(0),
+      intLit(x(1), "graft_minhash_portable numHashes"), portable = true)),
     // multi-table sign-LSH bucket ids over an embedding array:
     // (embedding, dim, nPlanes, nTables) -> array<bigint>
     "graft_lsh_buckets" -> (4, x => graft.functions.SignLshBuckets(x(0),

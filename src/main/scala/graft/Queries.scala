@@ -683,6 +683,15 @@ object Queries {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
 
+  /** IVF ANN (k-means coarse quantizer + nProbe lists): the
+    * data-dependent scale path beside q27's data-independent LSH.
+    * Recall vs brute force asserted in OperatorsSpec. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Ann.ivfTopK(t(s, dir, "embeddings"), col("vec_id") % 100 === 0, 10, 64,
+        nList = 32, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+
   /** Multimodal: probe + per-frame features over the synthetic video table. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import graft.media._
@@ -747,6 +756,7 @@ object Queries {
     "q25_minhash_lsh" -> (q25 _),
     "q26_phash_neardup" -> (q26 _),
     "q27_ann_lsh" -> (q27 _),
+    "q28_ann_ivf" -> (q28 _),
     "q30_veg_flagship" -> (q30 _),
     "q31_phash_dedup" -> (q31 _),
     "q32_veg_summary" -> (q32 _),

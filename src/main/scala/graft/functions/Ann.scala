@@ -99,6 +99,128 @@ object Ann {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Spherical k-means coarse quantizer for [[ivfTopK]], trained with
+    * Lloyd's iterations on a bounded deterministic sample (hash-ordered
+    * limit — unbiased w.r.t. id order, same sample every run). The
+    * centroid matrix is nList×dim doubles — small by construction (a
+    * coarse quantizer, not the data), the standard IVF practice. */
+  def trainIvfCentroids(emb: DataFrame, dim: Int, nList: Int,
+                        iters: Int = 8, maxTrain: Int = 4096): Array[Array[Double]] = {
+    val sample = emb.select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(maxTrain)
+      .collect().map { r =>
+        val s = r.getSeq[Any](0)
+        val v = Array.tabulate(dim)(i => s(i).asInstanceOf[Number].doubleValue())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    require(sample.length >= nList, s"need >= $nList training vectors, got ${sample.length}")
+    var centroids = sample.take(nList).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nList)(new Array[Double](dim))
+      val counts = new Array[Int](nList)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < nList) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nList) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else {
+          val m = sums(c)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path,
+    * complementing [[lshTopK]] (the data-independent one):
+    *
+    *  1. TRAIN: spherical k-means on a bounded sample (driver-local
+    *     Lloyd's — the quantizer is tiny; [[trainIvfCentroids]]),
+    *  2. ASSIGN: one narrow pass tags every vector with its nearest
+    *     centroid via a native expression (the centroid matrix rides the
+    *     task binary at coarse sizes; hand it to executors via a
+    *     Broadcast variable if nList×dim grows past a few MB),
+    *  3. QUERY: probe the nProbe nearest lists; candidates = plain list-id
+    *     equi-join (partitionable, AQE-skew-handleable, never all-pairs),
+    *     exact fp64 cosine rerank inside the candidates.
+    *
+    * Candidates ~ nProbe·N/nList per query, so nList grows with sqrt(N)
+    * (classic IVF sizing) and nProbe buys recall independently. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int,
+              nList: Int = 64, nProbe: Int = 8, iters: Int = 8,
+              maxTrain: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val centroids = trainIvfCentroids(emb, dim, nList, iters, maxTrain)
+    val assigned = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"),
+      explode(ec(IvfLists(ee(col("embedding")), centroids, 1))).as("list"))
+    val q = emb.where(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"),
+      explode(ec(IvfLists(ee(col("embedding")), centroids, nProbe))).as("list"))
+    val cand = q.join(assigned, Seq("list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(min("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}
+
+/** The nProbe nearest IVF lists (by dot with the normalized centroids —
+  * cosine order, the row's own norm being rank-invariant) as a native
+  * expression: the Column-tree equivalent is nList×dim terms. */
+case class IvfLists(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                    centroids: Array[Array[Double]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  require(nProbe >= 1 && nProbe <= centroids.length, "nProbe out of range")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"embedding type $other unsupported")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    val e = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      e(j) = if (elemIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val dots = Array.tabulate(centroids.length) { c =>
+      var d = 0.0; var i = 0
+      while (i < dim) { d += e(i) * centroids(c)(i); i += 1 }
+      d
+    }
+    val top = dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }.take(nProbe)
+    new GenericArrayData(top.map(_._2.asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): IvfLists = copy(child = c)
 }
 
 /** Sign-LSH bucket ids for nTables independent tables (nPlanes sign bits

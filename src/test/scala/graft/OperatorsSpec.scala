@@ -422,6 +422,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) <= k))
   }
 
+  test("IVF ANN (k-means coarse quantizer) reaches recall >= 0.9 at nProbe=8/32 lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val dim = 16
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(j => (Synthetic.u01(Synthetic.mix2(seed, j)) - 0.5))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 400).map { i =>
+      val cluster = i % 10
+      val center = unit(1000L + cluster)
+      val noise = unit(5000L + i)
+      (i.toLong, center.zip(noise).map { case (a, b) => a + 0.15f * b })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val k = 10
+    val exact = graft.functions.Ann.bruteForceTopK(emb, c("vec_id") % 40 === 0, k)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.functions.Ann.ivfTopK(emb, c("vec_id") % 40 === 0, k, dim,
+        nList = 32, nProbe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall = $recall")
+    // determinism: same centroids -> same result set
+    val again = graft.functions.Ann.ivfTopK(emb, c("vec_id") % 40 === 0, k, dim,
+        nList = 32, nProbe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == approx)
+  }
+
   test("banded hamming self-join finds exactly the brute-force pairs within radius < nBands") {
     import spark.implicits._
     // deterministic hashes with planted near-dups: flip 1..6 bits of a base

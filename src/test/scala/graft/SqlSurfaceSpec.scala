@@ -45,6 +45,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fp > 0)
     assert(spark.sql("SELECT size(graft_minhash(array('a','b','c'), 16)) AS n")
       .collect()(0).getInt(0) == 16)
+    assert(spark.sql("SELECT graft_minhash_portable(array('a','b'), 4) AS s")
+      .collect()(0).getSeq[Long](0) ==
+      graft.functions.TextHash.minHashPortable(Seq("a", "b"), 4).toSeq)
     // multi-table LSH buckets: one id per table, table tag in the high bits
     val buckets = spark.sql(
         "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 2, 8, 3) AS b")

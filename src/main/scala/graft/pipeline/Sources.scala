@@ -27,31 +27,54 @@ object GeoJson {
     val fSchema = feats.schema("f").dataType.asInstanceOf[StructType]
     val props = fSchema("properties").dataType.asInstanceOf[StructType]
     val geom = fSchema("geometry").dataType.asInstanceOf[StructType]
+    normalizeFeatures(feats, props, geom, pfx = "f.", crsName = crsName)
+  }
 
+  /** S1 scale path: newline-delimited GeoJSON features ("GeoJSONL") —
+    * the Spark-native replacement for the reference's file-shard
+    * parallelism (scripts/split_geojson.py + the bulk work queue). A
+    * FeatureCollection is ONE json document, so `multiLine` parsing
+    * cannot split it; one feature per line makes polygon ingest an
+    * ordinary splittable text scan that parallelizes across executors
+    * at any input size. Accepts the same duck-typed variants as
+    * [[readGardens]]; per-line features carry no file-level crs, so pass
+    * `crsName` for projected inputs (default CRS84, like the reference). */
+  def readGardensLines(spark: SparkSession, path: String,
+                       crsName: String = Exprs.CRS84): DataFrame = {
+    val raw = spark.read.json(path)
+    val schema = raw.schema
+    require(hasField(schema, "geometry") && hasField(schema, "properties"),
+      "GeoJSONL lines need geometry and properties fields")
+    val props = schema("properties").dataType.asInstanceOf[StructType]
+    val geom = schema("geometry").dataType.asInstanceOf[StructType]
+    normalizeFeatures(raw, props, geom, pfx = "", crsName = crsName)
+  }
+
+  /** Shared duck-typing normalization over a feature frame: `pfx` is ""
+    * for top-level (GeoJSONL) or "f." for the exploded collection. */
+  private def normalizeFeatures(feats: DataFrame, props: StructType,
+                                geom: StructType, pfx: String,
+                                crsName: String): DataFrame = {
     val idCol: Column = (props.fieldNames.contains("id"), props.fieldNames.contains("toid")) match {
-      case (true, true) => coalesce(col("f.properties.id"), col("f.properties.toid"))
-      case (true, false) => col("f.properties.id")
-      case (false, true) => col("f.properties.toid")
+      case (true, true) => coalesce(col(s"${pfx}properties.id"), col(s"${pfx}properties.toid"))
+      case (true, false) => col(s"${pfx}properties.id")
+      case (false, true) => col(s"${pfx}properties.toid")
       case _ => throw new IllegalArgumentException("features need properties.id or properties.toid")
     }
-
     val uprnCol: Column =
       if (!props.fieldNames.contains("uprn")) array().cast("array<string>")
       else props("uprn").dataType match {
         case _: ArrayType =>
-          coalesce(col("f.properties.uprn").cast("array<string>"), array().cast("array<string>"))
+          coalesce(col(s"${pfx}properties.uprn").cast("array<string>"), array().cast("array<string>"))
         case _ => // scalar or "{a,b}"-packed string (analyse_polygons.py:175-186)
-          when(col("f.properties.uprn").isNull, array().cast("array<string>"))
-            .otherwise(split(regexp_replace(col("f.properties.uprn").cast("string"), "[{}]", ""), ","))
+          when(col(s"${pfx}properties.uprn").isNull, array().cast("array<string>"))
+            .otherwise(split(regexp_replace(col(s"${pfx}properties.uprn").cast("string"), "[{}]", ""), ","))
       }
-
-    val coordsType = geom("coordinates").dataType
-    val geomCol: Column = depthOf(coordsType) match {
-      case 4 => col("f.geometry.coordinates")
-      case 3 => array(col("f.geometry.coordinates")) // Polygon -> MultiPolygon
+    val geomCol: Column = depthOf(geom("coordinates").dataType) match {
+      case 4 => col(s"${pfx}geometry.coordinates")
+      case 3 => array(col(s"${pfx}geometry.coordinates")) // Polygon -> MultiPolygon
       case d => throw new IllegalArgumentException(s"unsupported coordinates nesting depth $d")
     }
-
     feats.select(
       idCol.cast("string").as("id"),
       uprnCol.as("uprn"),

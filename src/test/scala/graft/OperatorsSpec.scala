@@ -339,6 +339,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(geom.head.head.length == 4)
   }
 
+  test("GeoJSONL reader (scale path) matches the FeatureCollection reader") {
+    // one feature per line: a splittable scan, the Spark-native
+    // replacement for split_geojson file sharding
+    val lines = Seq(
+      """{"type": "Feature", "properties": {"id": "osgb1", "uprn": "{111,222}"}, "geometry": {"type": "MultiPolygon", "coordinates": [[[[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 0.0]]]]}}""",
+      """{"type": "Feature", "properties": {"toid": "osgb2", "uprn": null}, "geometry": {"type": "MultiPolygon", "coordinates": [[[[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 10.0]]]]}}""")
+    val f = java.io.File.createTempFile("gardens", ".geojsonl")
+    java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
+    val df = GeoJson.readGardensLines(spark, f.getAbsolutePath,
+      crsName = "urn:ogc:def:crs:EPSG::27700")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("id") == "osgb1")
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("uprn")) == Seq("111", "222"))
+    assert(rows(0).getAs[String]("crs") == "urn:ogc:def:crs:EPSG::27700")
+    assert(rows(1).getAs[String]("id") == "osgb2")
+    assert(rows(1).getSeq[String](rows(1).fieldIndex("uprn")).isEmpty)
+    // a Polygon-typed line wraps to MultiPolygon like the collection reader
+    val f2 = java.io.File.createTempFile("gardens_poly", ".geojsonl")
+    java.nio.file.Files.writeString(f2.toPath,
+      """{"type": "Feature", "properties": {"id": "p1"}, "geometry": {"type": "Polygon", "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}}""")
+    val geom = GeoJson.readGardensLines(spark, f2.getAbsolutePath).collect()(0)
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[_]]]]("geometry")
+    assert(geom.length == 1 && geom.head.head.length == 4)
+  }
+
   // ------------------------------------------------ reports
 
   test("report files replicate the reference's formats byte-for-byte") {

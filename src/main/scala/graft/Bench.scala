@@ -55,15 +55,18 @@ object Bench {
   /** Deterministic bench tile/garden tables, generated once to parquet so
     * benchmark runs measure the engine (parquet scan + join + kernels),
     * not the generator. */
-  private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Long) = {
-    // sf0.1 runs a 576x576 extent (331,776 256px jpg tiles): large enough
-    // that the fixed per-job cost (polygon-index broadcast, planning,
-    // final collect, ~1 s) and the VM's per-rep noise amortize, so the
-    // N-vs-4N scaling efficiency measures the engine, not the constant.
-    val (grid, ts, nGardens) =
-      if (sfDir.contains("sf0.1")) (576, 256, 80000L)
-      else if (sfDir.contains("sf0.01")) (32, 256, 8000L)
-      else (12, 128, 1000L)
+  private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Int, Long) = {
+    // sf0.1 runs a 400x1200 extent (480,000 256px jpg tiles): every id
+    // is a VALID OSGB code (the synthetic base (400,100) caps a valid
+    // grid at 400 wide x 1200 tall; round 2's 576x576 table had only
+    // 400x576 valid ids — 30% dead rows inflating tiles/sec by 1.44x),
+    // and the extent is large enough that the fixed per-job cost
+    // (planning, scheduling, final collect, ~1 s) amortizes: the N-vs-4N
+    // scaling efficiency measures the engine, not the constant.
+    val (gridW, gridH, ts, nGardens) =
+      if (sfDir.contains("sf0.1")) (400, 1200, 256, 80000L)
+      else if (sfDir.contains("sf0.01")) (32, 32, 256, 8000L)
+      else (12, 12, 128, 1000L)
     val root = "data/gen"
     // jpg tiles — the format the reference's OSGB loader actually reads
     // (image_loaders.py:229-233) and ~1/8 the bytes of png, so the bench
@@ -71,23 +74,23 @@ object Bench {
     // single-box memory-bandwidth floor that a real N-node cluster would
     // scale away with its aggregate I/O (16 GB png: ~5 s/scan at ANY
     // local thread count — measured in tools/Probe384)
-    val tilesPath = s"$root/tilesjpg_g${grid}_ts$ts"
-    val gardensPath = s"$root/gardens_n${nGardens}_g$grid"
+    val tilesPath = s"$root/tilesjpg_g${gridW}x${gridH}_ts$ts"
+    val gardensPath = s"$root/gardens_n${nGardens}_g${gridW}x$gridH"
     if (!Files.exists(Paths.get(tilesPath))) {
       // 4 MB row groups: bounds per-reader buffering of the fat binary
       // column (default 128 MB row groups OOM 32 concurrent readers)
-      Synthetic.tilesJpg(spark, grid, grid, ts)
-        .repartition(512)
+      Synthetic.tilesJpg(spark, gridW, gridH, ts)
+        .repartition(768)
         .write.mode("overwrite")
         .option("parquet.block.size", (4 * 1024 * 1024).toString)
         .parquet(tilesPath)
     }
     if (!Files.exists(Paths.get(gardensPath))) {
-      Synthetic.gardens(spark, nGardens, grid, grid)
+      Synthetic.gardens(spark, nGardens, gridW, gridH)
         .repartition(8)
         .write.mode("overwrite").parquet(gardensPath)
     }
-    (tilesPath, gardensPath, grid, ts, nGardens)
+    (tilesPath, gardensPath, gridW, gridH, ts, nGardens)
   }
 
   private def cfgOf(ts: Int) = VegPipeline.Config(
@@ -128,7 +131,7 @@ object Bench {
     // ---------- part 1: headline queries at local[cpus]
     // relational queries: DEFAULT reader configs (no image-table tunings)
     val spark = newSession(cpus, tileConfs = false)
-    val (tilesPath, gardensPath, grid, ts, nGardens) = benchData(spark, sfDir)
+    val (tilesPath, gardensPath, gridW, gridH, ts, nGardens) = benchData(spark, sfDir)
     // the flagship runs in a sibling session with the image-table parquet
     // confs, sharing the same SparkContext/executors
     val tileS = spark.newSession()
@@ -167,7 +170,7 @@ object Bench {
     //     the ENGINE rather than the hypervisor;
     //   * SECONDARY 8 vs 32 — reported with the same-run no-Spark kernel
     //     ceiling so the host's share of the gap is visible.
-    val nTiles = grid.toLong * grid
+    val nTiles = gridW.toLong * gridH
     def repsAt(cpus: Int, n: Int): Seq[Double] = {
       val s = newSession(cpus, tileConfs = true)
       val idx = buildIndex(s, gardensPath, ts)

@@ -30,10 +30,10 @@ object Scaling832 {
 
   def main(args: Array[String]): Unit = {
     val minCeiling = sys.env.getOrElse("SPARK_GRAFT_MIN_CEILING", "0.72").toDouble
-    val tilesPath = "data/gen/tilesjpg_g576_ts256"
-    val gardensPath = "data/gen/gardens_n80000_g576"
+    val tilesPath = sys.env.getOrElse("SPARK_GRAFT_TILES", "data/gen/tilesjpg_g400x1200_ts256")
+    val gardensPath = sys.env.getOrElse("SPARK_GRAFT_GARDENS", "data/gen/gardens_n80000_g400x1200")
     val ts = 256
-    val nTiles = 576L * 576L
+    val nTiles = sys.env.getOrElse("SPARK_GRAFT_NTILES", "480000").toLong
 
     // ---- kernel ceiling probe (same-count 8 vs 32, as Bench)
     val jpgs = (0 until 64).map(i =>

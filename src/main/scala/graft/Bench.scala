@@ -182,34 +182,26 @@ object Bench {
       s.stop()
       reps
     }
-    val rounds = (1 to 2).map(_ => (repsAt(2, 3), repsAt(8, 3), repsAt(32, 3)))
-    val reps2 = rounds.flatMap(_._1)
-    val reps8 = rounds.flatMap(_._2)
-    val reps32 = rounds.flatMap(_._3)
-    val t2 = reps2.min
-    val t8 = reps8.min
-    val t32 = reps32.min
-
     // machine ceiling: raw kernel (decode) thread-scaling without Spark,
     // as the upper bound any end-to-end number can be judged against.
     // SAME item count at both levels of a pair, eff = tN / (4 * t4N) —
     // a per-level item count would give the levels different warm-up
     // shares (round 2's 12k@2 vs 48k@8 ceiling exceeded 1.0).
-    val (kernel28, kernel832) = {
-      val jpgs = (0 until 64).map(i =>
-        graft.img.Quality.encodeJPEG(Synthetic.tileRasterSmooth(400 + i % 8, 100 + i / 8, 256, 42L), 0.92f))
-      def work(n: Int, threads: Int): Double = {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        val t0 = System.nanoTime()
-        val tasks = (0 until n).map { i =>
-          pool.submit(new Runnable {
-            def run(): Unit = { graft.img.Codec.decodeBGR(jpgs(i % 64)); () }
-          })
-        }
-        tasks.foreach(_.get())
-        pool.shutdown()
-        (System.nanoTime() - t0) / 1e9
+    val jpgs = (0 until 64).map(i =>
+      graft.img.Quality.encodeJPEG(Synthetic.tileRasterSmooth(400 + i % 8, 100 + i / 8, 256, 42L), 0.92f))
+    def work(n: Int, threads: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val tasks = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = { graft.img.Codec.decodeBGR(jpgs(i % 64)); () }
+        })
       }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kernelPair(): ((Double, Double), (Double, Double)) = {
       work(4000, 32) // warm
       val k2 = (1 to 3).map(_ => work(12000, 2)).min
       val k8small = (1 to 3).map(_ => work(12000, 8)).min
@@ -217,8 +209,46 @@ object Bench {
       val k32 = (1 to 3).map(_ => work(48000, 32)).min
       ((k2, k8small), (k8, k32))
     }
-    val kernelEff28 = kernel28._1 / (4.0 * kernel28._2)
-    val kernelEff832 = kernel832._1 / (4.0 * kernel832._2)
+
+    final case class Attempt(reps2: Seq[Double], reps8: Seq[Double], reps32: Seq[Double],
+                             kernel28: (Double, Double), kernel832: (Double, Double)) {
+      val t2: Double = reps2.min
+      val t8: Double = reps8.min
+      val t32: Double = reps32.min
+      val eff28: Double = t2 / (4.0 * t8)
+      val eff832: Double = t8 / (4.0 * t32)
+      val kEff28: Double = kernel28._1 / (4.0 * kernel28._2)
+      val kEff832: Double = kernel832._1 / (4.0 * kernel832._2)
+      /** Instrument quality: how well the hypervisor delivered cores
+        * during this attempt — the engine's own numbers play no part.
+        * A kernel efficiency ABOVE 1 is itself a corruption signal (a
+        * stall hit the low-thread probe), so quality penalizes distance
+        * from the physical ideal rather than rewarding magnitude. */
+      val quality: Double = {
+        def q(k: Double): Double = if (k > 1.0) 2.0 - k else k
+        (q(kEff28) + q(kEff832)) / 2.0
+      }
+    }
+    def attemptOnce(): Attempt = {
+      val rounds = (1 to 2).map(_ => (repsAt(2, 2), repsAt(8, 2), repsAt(32, 2)))
+      val (k28, k832) = kernelPair()
+      Attempt(rounds.flatMap(_._1), rounds.flatMap(_._2), rounds.flatMap(_._3), k28, k832)
+    }
+    // Retry-on-degraded-epoch: the hypervisor withholds cores in whole
+    // epochs (kernel ceiling swings 0.3-0.95 within minutes). An attempt
+    // whose ceilings show a degraded host is re-measured (up to
+    // maxAttempts); the KEPT attempt is the one with the best INSTRUMENT
+    // quality — selected by kernel ceiling alone, never by the engine's
+    // own efficiency, so the selection cannot flatter the engine.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALING_ATTEMPTS", "3").toInt
+    val attempts = scala.collection.mutable.ArrayBuffer(attemptOnce())
+    while (attempts.size < maxAttempts && attempts.last.quality < 0.85)
+      attempts += attemptOnce()
+    val a = attempts.maxBy(_.quality)
+    val (reps2, reps8, reps32) = (a.reps2, a.reps8, a.reps32)
+    val (t2, t8, t32) = (a.t2, a.t8, a.t32)
+    val (kernel28, kernel832) = (a.kernel28, a.kernel832)
+    val (kernelEff28, kernelEff832) = (a.kEff28, a.kEff832)
 
     val tput2 = nTiles / t2
     val tput8 = nTiles / t8
@@ -226,8 +256,8 @@ object Bench {
     // N->4N efficiencies, explicitly keyed by the core pair (round 1's
     // bare "efficiency" key meant 8->32; round 2 silently rebound it to
     // 2->8 — name both so no cross-round comparison misreads them)
-    val efficiency28 = tput8 / (4.0 * tput2)
-    val efficiency832 = tput32 / (4.0 * tput8)
+    val efficiency28 = a.eff28
+    val efficiency832 = a.eff832
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.values.sum
@@ -239,7 +269,11 @@ object Bench {
         f""""tiles_per_sec_2":$tput2%.1f,"tiles_per_sec_8":$tput8%.1f,"tiles_per_sec_32":$tput32%.1f,""" +
         f""""kernel_t2_12k":${kernel28._1}%.3f,"kernel_t8_12k":${kernel28._2}%.3f,""" +
         f""""kernel_t8_48k":${kernel832._1}%.3f,"kernel_t32_48k":${kernel832._2}%.3f,""" +
-        f""""kernel_efficiency_2_8":$kernelEff28%.3f,"kernel_efficiency_8_32":$kernelEff832%.3f}"""
+        f""""kernel_efficiency_2_8":$kernelEff28%.3f,"kernel_efficiency_8_32":$kernelEff832%.3f,""" +
+        f""""attempts":${attempts.size},""" +
+        f""""attempt_qualities":[${attempts.map(x => f"${x.quality}%.3f").mkString(",")}],""" +
+        f""""attempt_eff_2_8":[${attempts.map(x => f"${x.eff28}%.3f").mkString(",")}],""" +
+        f""""attempt_eff_8_32":[${attempts.map(x => f"${x.eff832}%.3f").mkString(",")}]}"""
     val jsonLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}"""
     println(jsonLine)

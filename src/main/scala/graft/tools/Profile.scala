@@ -29,8 +29,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     import Exprs.{col => ec, expr => ee}
 
-    val tilesPath = "data/gen/tilesjpg_g576_ts256"
-    val gardensPath = "data/gen/gardens_n80000_g576"
+    val tilesPath = sys.env.getOrElse("SPARK_GRAFT_TILES", "data/gen/tilesjpg_g400x1200_ts256")
+    val gardensPath = sys.env.getOrElse("SPARK_GRAFT_GARDENS", "data/gen/gardens_n80000_g400x1200")
     val tiles = spark.read.parquet(tilesPath)
 
     println(s"[profile] tile scan partitions: ${tiles.rdd.getNumPartitions}")

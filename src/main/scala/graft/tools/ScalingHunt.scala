@@ -5,14 +5,15 @@ import org.apache.spark.sql.SparkSession
 import graft.data.Synthetic
 import graft.pipeline.VegPipeline
 
-/** Quiet-epoch hunter for the SECONDARY 8→32 scaling pair (BENCH/
-  * BASELINE.md): this VM's hypervisor delivers 32 vCPUs only in some
-  * epochs, so the run first probes the no-Spark kernel ceiling (~15 s)
-  * and only spends on the Spark measurement when the host is quiet
-  * (ceiling >= minCeiling). Prints one JSON line per attempt:
-  * {"kernel_eff_8_32":…, "skipped":true} or the full measurement with
-  * engine-vs-ceiling ratio. */
-object Scaling832 {
+/** Quiet-epoch hunter for the N-vs-4N scaling rows (BENCH/BASELINE.md):
+  * this VM's hypervisor delivers 32 vCPUs only in some epochs, so the
+  * run first probes the no-Spark kernel ceiling (~15 s) and only spends
+  * on the Spark measurement when the host is quiet (8→32 ceiling >=
+  * SPARK_GRAFT_MIN_CEILING). Measures ALL THREE levels (2/8/32) so one
+  * quiet window yields both the primary 2→8 and secondary 8→32 pair.
+  * Prints one JSON line per attempt: {"skipped":true,...} or the full
+  * measurement with engine-vs-ceiling ratios. */
+object ScalingHunt {
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -35,7 +36,7 @@ object Scaling832 {
     val ts = 256
     val nTiles = sys.env.getOrElse("SPARK_GRAFT_NTILES", "480000").toLong
 
-    // ---- kernel ceiling probe (same-count 8 vs 32, as Bench)
+    // ---- kernel ceiling probe (same-count pairs, as Bench)
     val jpgs = (0 until 64).map(i =>
       graft.img.Quality.encodeJPEG(Synthetic.tileRasterSmooth(400 + i % 8, 100 + i / 8, 256, 42L), 0.92f))
     def work(n: Int, threads: Int): Double = {
@@ -50,16 +51,21 @@ object Scaling832 {
       pool.shutdown()
       (System.nanoTime() - t0) / 1e9
     }
+    def kernels(): (Double, Double) = {
+      val k2 = (1 to 3).map(_ => work(12000, 2)).min
+      val k8small = (1 to 3).map(_ => work(12000, 8)).min
+      val k8 = (1 to 3).map(_ => work(48000, 8)).min
+      val k32 = (1 to 3).map(_ => work(48000, 32)).min
+      (k2 / (4.0 * k8small), k8 / (4.0 * k32))
+    }
     work(4000, 32) // warm
-    val k8 = (1 to 3).map(_ => work(48000, 8)).min
-    val k32 = (1 to 3).map(_ => work(48000, 32)).min
-    val kernelEff = k8 / (4.0 * k32)
-    if (kernelEff < minCeiling) {
-      println(f"""{"kernel_eff_8_32":$kernelEff%.3f,"kernel_t8":$k8%.2f,"kernel_t32":$k32%.2f,"skipped":true}""")
+    val (k28pre, k832pre) = kernels()
+    if (k832pre < minCeiling || k28pre < 0.85 || k28pre > 1.05) {
+      println(f"""{"kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,"skipped":true}""")
       return
     }
 
-    // ---- Spark 8 vs 32, interleaved rounds, min-of-reps
+    // ---- Spark 2/8/32, interleaved rounds, min-of-reps
     def repsAt(cpus: Int, n: Int): (Seq[Double], Long, Long) = {
       val s = session(cpus)
       import org.apache.spark.sql.functions._
@@ -79,23 +85,29 @@ object Scaling832 {
       s.stop()
       (reps, rows, pix)
     }
-    val rounds = (1 to 2).map(_ => (repsAt(8, 3), repsAt(32, 3)))
-    val reps8 = rounds.flatMap(_._1._1)
-    val reps32 = rounds.flatMap(_._2._1)
-    require(rounds.forall(r => r._1._2 == r._2._2 && r._1._3 == r._2._3),
+    val rounds = (1 to 2).map(_ => (repsAt(2, 2), repsAt(8, 2), repsAt(32, 2)))
+    val reps2 = rounds.flatMap(_._1._1)
+    val reps8 = rounds.flatMap(_._2._1)
+    val reps32 = rounds.flatMap(_._3._1)
+    require(rounds.forall(r => r._1._2 == r._2._2 && r._1._3 == r._2._3
+        && r._2._2 == r._3._2 && r._2._3 == r._3._3),
       "output mismatch across parallelism levels")
+    val t2 = reps2.min
     val t8 = reps8.min
     val t32 = reps32.min
-    val eff = (nTiles / t32) / (4.0 * (nTiles / t8))
-    // re-probe the ceiling AFTER so the quoted same-run ceiling brackets
-    // the Spark measurement window
-    val k8b = (1 to 3).map(_ => work(48000, 8)).min
-    val k32b = (1 to 3).map(_ => work(48000, 32)).min
-    val kernelEffAfter = k8b / (4.0 * k32b)
-    val ceil = math.max(kernelEff, kernelEffAfter)
-    println(f"""{"kernel_eff_8_32":$kernelEff%.3f,"kernel_eff_8_32_after":$kernelEffAfter%.3f,""" +
-      f""""t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"efficiency_8_32":$eff%.3f,""" +
-      f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],"reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
-      f""""tiles_per_sec_32":${nTiles / t32}%.1f,"ratio_to_ceiling":${eff / ceil}%.3f,"skipped":false}""")
+    val eff28 = t2 / (4.0 * t8)
+    val eff832 = t8 / (4.0 * t32)
+    // re-probe AFTER so the quoted ceilings bracket the measurement window
+    val (k28post, k832post) = kernels()
+    val ceil832 = math.max(k832pre, k832post)
+    println(f"""{"kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,""" +
+      f""""kernel_eff_2_8_after":$k28post%.3f,"kernel_eff_8_32_after":$k832post%.3f,""" +
+      f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
+      f""""efficiency_2_8":$eff28%.3f,"efficiency_8_32":$eff832%.3f,""" +
+      f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],""" +
+      f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],""" +
+      f""""reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
+      f""""tiles_per_sec_32":${nTiles / t32}%.1f,""" +
+      f""""ratio_832_to_ceiling":${eff832 / ceil832}%.3f,"skipped":false}""")
   }
 }

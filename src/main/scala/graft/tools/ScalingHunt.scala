@@ -60,7 +60,12 @@ object ScalingHunt {
     }
     work(4000, 32) // warm
     val (k28pre, k832pre) = kernels()
-    if (k832pre < minCeiling || k28pre < 0.85 || k28pre > 1.05) {
+    // two-mode: measure all three levels when the host is delivering 32
+    // cores; fall back to the PRIMARY 2->8 pair alone when only the low
+    // levels are quiet (most epochs on this VM); skip otherwise
+    val full = k832pre >= minCeiling && k28pre >= 0.85 && k28pre <= 1.05
+    val pairOnly = !full && k28pre >= 0.88 && k28pre <= 1.05
+    if (!full && !pairOnly) {
       println(f"""{"kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,"skipped":true}""")
       return
     }
@@ -85,29 +90,47 @@ object ScalingHunt {
       s.stop()
       (reps, rows, pix)
     }
-    val rounds = (1 to 2).map(_ => (repsAt(2, 2), repsAt(8, 2), repsAt(32, 2)))
-    val reps2 = rounds.flatMap(_._1._1)
-    val reps8 = rounds.flatMap(_._2._1)
-    val reps32 = rounds.flatMap(_._3._1)
-    require(rounds.forall(r => r._1._2 == r._2._2 && r._1._3 == r._2._3
-        && r._2._2 == r._3._2 && r._2._3 == r._3._3),
-      "output mismatch across parallelism levels")
-    val t2 = reps2.min
-    val t8 = reps8.min
-    val t32 = reps32.min
-    val eff28 = t2 / (4.0 * t8)
-    val eff832 = t8 / (4.0 * t32)
-    // re-probe AFTER so the quoted ceilings bracket the measurement window
-    val (k28post, k832post) = kernels()
-    val ceil832 = math.max(k832pre, k832post)
-    println(f"""{"kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,""" +
-      f""""kernel_eff_2_8_after":$k28post%.3f,"kernel_eff_8_32_after":$k832post%.3f,""" +
-      f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
-      f""""efficiency_2_8":$eff28%.3f,"efficiency_8_32":$eff832%.3f,""" +
-      f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],""" +
-      f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],""" +
-      f""""reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
-      f""""tiles_per_sec_32":${nTiles / t32}%.1f,""" +
-      f""""ratio_832_to_ceiling":${eff832 / ceil832}%.3f,"skipped":false}""")
+    if (full) {
+      val rounds = (1 to 2).map(_ => (repsAt(2, 2), repsAt(8, 2), repsAt(32, 2)))
+      val reps2 = rounds.flatMap(_._1._1)
+      val reps8 = rounds.flatMap(_._2._1)
+      val reps32 = rounds.flatMap(_._3._1)
+      require(rounds.forall(r => r._1._2 == r._2._2 && r._1._3 == r._2._3
+          && r._2._2 == r._3._2 && r._2._3 == r._3._3),
+        "output mismatch across parallelism levels")
+      val t2 = reps2.min
+      val t8 = reps8.min
+      val t32 = reps32.min
+      val eff28 = t2 / (4.0 * t8)
+      val eff832 = t8 / (4.0 * t32)
+      // re-probe AFTER so the quoted ceilings bracket the measurement window
+      val (k28post, k832post) = kernels()
+      val ceil832 = math.max(k832pre, k832post)
+      println(f"""{"pair":"full","kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,""" +
+        f""""kernel_eff_2_8_after":$k28post%.3f,"kernel_eff_8_32_after":$k832post%.3f,""" +
+        f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,""" +
+        f""""efficiency_2_8":$eff28%.3f,"efficiency_8_32":$eff832%.3f,""" +
+        f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""reps32":[${reps32.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""tiles_per_sec_32":${nTiles / t32}%.1f,""" +
+        f""""ratio_832_to_ceiling":${eff832 / ceil832}%.3f,"skipped":false}""")
+    } else {
+      val rounds = (1 to 3).map(_ => (repsAt(2, 1), repsAt(8, 1)))
+      val reps2 = rounds.flatMap(_._1._1)
+      val reps8 = rounds.flatMap(_._2._1)
+      require(rounds.forall(r => r._1._2 == r._2._2 && r._1._3 == r._2._3),
+        "output mismatch across parallelism levels")
+      val t2 = reps2.min
+      val t8 = reps8.min
+      val eff28 = t2 / (4.0 * t8)
+      val (k28post, _) = kernels()
+      println(f"""{"pair":"2_8","kernel_eff_2_8":$k28pre%.3f,"kernel_eff_2_8_after":$k28post%.3f,""" +
+        f""""kernel_eff_8_32":$k832pre%.3f,""" +
+        f""""t2_sec":$t2%.3f,"t8_sec":$t8%.3f,"efficiency_2_8":$eff28%.3f,""" +
+        f""""reps2":[${reps2.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""reps8":[${reps8.map(r => f"$r%.2f").mkString(",")}],""" +
+        f""""tiles_per_sec_8":${nTiles / t8}%.1f,"skipped":false}""")
+    }
   }
 }

@@ -64,7 +64,8 @@ object ScalingHunt {
     // cores; fall back to the PRIMARY 2->8 pair alone when only the low
     // levels are quiet (most epochs on this VM); skip otherwise
     val full = k832pre >= minCeiling && k28pre >= 0.85 && k28pre <= 1.05
-    val pairOnly = !full && k28pre >= 0.88 && k28pre <= 1.05
+    val pairOnly = !full && k28pre >= 0.88 && k28pre <= 1.05 &&
+      !sys.env.contains("SPARK_GRAFT_NO_PAIR28") // set once the 2->8 row is on record
     if (!full && !pairOnly) {
       println(f"""{"kernel_eff_2_8":$k28pre%.3f,"kernel_eff_8_32":$k832pre%.3f,"skipped":true}""")
       return

@@ -407,7 +407,15 @@ object Queries {
 
   /** o23: the full fingerprint pipeline re-derived in DuckDB SQL.
     * 257^4=4362470401 … constants are the k-gram base powers; documents
-    * shorter than k have zero fingerprints (NULL aggregates). */
+    * shorter than k have zero fingerprints (NULL aggregates).
+    *
+    * ASCII-only assumption: the SQL hashes CODEPOINTS (length/substr/ord)
+    * while the engine hashes UTF-8 BYTES (TextHash uses getBytes) — the
+    * two agree exactly on ASCII text, which all driver testdata scale
+    * factors are; a non-ASCII document would make this oracle (not the
+    * engine) report a false mismatch. Deriving byte-level substrings in
+    * portable SQL isn't worth the complexity while the input contract
+    * holds. */
   private val o23 =
     """WITH pos AS (
       |  SELECT doc_id, length(text) AS L, unnest(range(length(text) - 4)) AS i, text
@@ -531,7 +539,7 @@ object Queries {
     * deterministic 1-bit-perturbed copy of each tile so true near-dup
     * pairs exist at any scale factor. No crossJoin anywhere in the plan. */
   private def q26(s: SparkSession, dir: String): DataFrame = {
-    val base = phashSidecar(s, dir)
+    val base = phashBase(s, dir)
     val dups = base.select(concat(col("image_id"), lit("~d")).as("image_id"),
       col("phash").bitwiseXOR(lit(1L << 21)).as("phash"))
     graft.functions.NearDup.bandedSelfJoin(base.unionAll(dups),
@@ -539,27 +547,21 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
-  /** The synthetic tile table's (image_id, phash) projection, ALSO
-    * written to [[phashSidecarPath]] so the DuckDB oracle for the
-    * image-dedup operators can verify the groupBy/banding/hamming
-    * machinery over the exact same input (the phash values themselves
-    * are pinned by the image-side unit tests; no SQL engine can decode
-    * the tiles). Written by the query, read by the oracle — the driver
-    * runs Verify before the oracle, so the file reflects the same sf. */
-  private def phashSidecar(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic tile table's (image_id, phash) projection — pure; the
+    * same frame is written to [[Sidecars.phashPath]] by Verify's setup so
+    * the DuckDB oracle for the image-dedup operators can verify the
+    * groupBy/banding/hamming machinery over the exact same input (the
+    * phash values themselves are pinned by the image-side unit tests; no
+    * SQL engine can decode the tiles). */
+  private[graft] def phashBase(s: SparkSession, dir: String): DataFrame = {
     val (gw, gh, _) = syntheticScale(dir)
-    val base = Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
-    base.coalesce(1).write.mode("overwrite").parquet(phashSidecarPath)
-    base
+    Synthetic.tiles(s, gw, gh, 64).select("image_id", "phash")
   }
-
-  private lazy val phashSidecarPath =
-    new java.io.File("data/oracle/tiles_phash.parquet").getAbsolutePath
 
   /** o26: dup derivation (xor bit 21), 8x8-bit banding, bucket join and
     * hamming refine all re-derived in SQL over the sidecar. */
   private lazy val o26 = {
-    val p = phashSidecarPath
+    val p = Sidecars.phashPath
     s"""WITH base AS (SELECT image_id, phash FROM read_parquet('$p/*.parquet')),
        |all_t AS (
        |  SELECT image_id, phash FROM base
@@ -600,26 +602,40 @@ object Queries {
   }
 
   /** Tile-table exact dedup by perceptual hash (image dedup operator);
-    * oracle'd over the [[phashSidecar]]. */
+    * oracle'd over the [[Sidecars.phashPath]] sidecar. */
   private def q31(s: SparkSession, dir: String): DataFrame =
-    phashSidecar(s, dir)
+    phashBase(s, dir)
       .groupBy("phash").agg(count(lit(1)).as("n"), min("image_id").as("keep_id"))
       .where(col("n") >= 1)
       .orderBy("phash")
 
   private lazy val o31 =
     s"""SELECT phash, count(*) AS n, min(image_id) AS keep_id
-       |FROM read_parquet('$phashSidecarPath/*.parquet')
+       |FROM read_parquet('${Sidecars.phashPath}/*.parquet')
        |GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
 
-  /** Global summary over the flagship output (A2). */
-  private def q32(s: SparkSession, dir: String): DataFrame = {
+  /** The flagship per-garden result frame at this scale (default config:
+    * greenleaf kernel, 64px tiles) — q32/q33 aggregate it, and Verify's
+    * setup writes its projection to [[Sidecars.vegPath]] so their DuckDB
+    * oracles verify the summary / explode algebra over the engine's own
+    * per-garden rows (which are themselves mosaic-oracle-tested). */
+  private[graft] def flagshipFrame(s: SparkSession, dir: String): DataFrame = {
     val (gw, gh, ng) = syntheticScale(dir)
-    val ts = 64
-    val res = VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
-      Synthetic.tiles(s, gw, gh, ts), VegPipeline.Config(tileSize = ts))
-    VegPipeline.summarize(res, Seq("greenleaf"))
+    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
+      Synthetic.tiles(s, gw, gh, 64), VegPipeline.Config(tileSize = 64))
   }
+
+  /** Global summary over the flagship output (A2); decimal-exact sums in
+    * [[VegPipeline.summarize]] make it bit-reproducible in SQL. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    VegPipeline.summarize(flagshipFrame(s, dir), Seq("greenleaf"))
+
+  private lazy val o32 =
+    s"""SELECT CAST(sum(CAST(area_m2 AS DECIMAL(28,4))) AS DOUBLE) AS total_area_m2,
+       |       CAST(sum(CAST(area_m2 * frac_greenleaf AS DECIMAL(28,4))) AS DOUBLE) AS veg_area_greenleaf,
+       |       CAST(sum(CAST(area_m2 * frac_greenleaf AS DECIMAL(28,4))) AS DOUBLE)
+       |         / CAST(sum(CAST(area_m2 AS DECIMAL(28,4))) AS DOUBLE) * 100.0 AS veg_pct_greenleaf
+       |FROM read_parquet('${Sidecars.vegPath}/*.parquet')""".stripMargin
 
   /** IRGB fused pipeline: RGB ⋈ CIR tile join + Ir fusion + the NDVI/matt
     * infrared kernels (S3/J2/K5/K10). */
@@ -692,6 +708,29 @@ object Queries {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
 
+  /** o27/o28: the exact fp64 cosine rerank + top-k window + neighbor_id
+    * tiebreak re-run in DuckDB over the engine's OWN candidate sidecar
+    * ([[Sidecars]]; candidate generation is hash/quantizer machinery no
+    * SQL engine can replicate — its recall is a unit-test property — but
+    * given the same candidates the final ranking must agree bit-for-bit;
+    * the fp64 fold ≡ list_dot_product equivalence is proven by q16). */
+  private def annRerankOracle(candPath: String): String =
+    s"""WITH cand AS (SELECT query_id, neighbor_id FROM read_parquet('$candPath/*.parquet')),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       |                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+       |           c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+
+  private lazy val o27 = annRerankOracle(Sidecars.annLshPath)
+  private lazy val o28 = annRerankOracle(Sidecars.annIvfPath)
+
   /** Multimodal: probe + per-frame features over the synthetic video table. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import graft.media._
@@ -722,12 +761,13 @@ object Queries {
   }
 
   /** toid->uprn explode over the flagship output (S8). */
-  private def q33(s: SparkSession, dir: String): DataFrame = {
-    val (gw, gh, ng) = syntheticScale(dir)
-    val res = VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
-      Synthetic.tiles(s, gw, gh, 64), VegPipeline.Config(tileSize = 64))
-    VegPipeline.toid2uprn(res).orderBy("feature_id", "uprn")
-  }
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
+
+  private lazy val o33 =
+    s"""SELECT id AS feature_id, unnest(uprn) AS uprn
+       |FROM read_parquet('${Sidecars.vegPath}/*.parquet')
+       |ORDER BY 1, 2""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -794,7 +834,11 @@ object Queries {
     "q24_simhash_dedup" -> o24,
     "q25_minhash_lsh" -> o25,
     "q26_phash_neardup" -> o26,
+    "q27_ann_lsh" -> o27,
+    "q28_ann_ivf" -> o28,
     "q31_phash_dedup" -> o31,
+    "q32_veg_summary" -> o32,
+    "q33_toid2uprn" -> o33,
     "q38_seeded_sample" -> o38
   )
 }

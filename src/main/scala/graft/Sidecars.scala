@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Oracle sidecar tables: engine-side frames that the DuckDB oracles for
+  * the image / flagship / ANN operators read back (no SQL engine can
+  * decode image tiles or train the IVF quantizer, so the oracles verify
+  * the downstream ALGEBRA — dedup/banding/hamming, summary aggregation,
+  * uprn explode, exact-cosine rerank + window + tiebreak — over the exact
+  * same inputs the engine used).
+  *
+  * Written ONLY here, from Verify's setup, before the query dump and the
+  * driver's oracle run — never as a query side effect. The queries
+  * themselves never read these files, so a stale sidecar (different run,
+  * scale factor or CWD) makes the oracle compare go RED instead of
+  * silently validating the wrong input. */
+object Sidecars {
+  private val root = new java.io.File("data/oracle").getAbsolutePath
+  val phashPath = s"$root/tiles_phash.parquet"
+  val vegPath = s"$root/veg_pergarden.parquet"
+  val annLshPath = s"$root/ann_lsh_candidates.parquet"
+  val annIvfPath = s"$root/ann_ivf_candidates.parquet"
+
+  def writeAll(s: SparkSession, dir: String): Unit = {
+    // q26/q31: the synthetic tile table's (image_id, phash) projection
+    Queries.phashBase(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(phashPath)
+    // q32/q33: the flagship per-garden frame (same config as the queries)
+    Queries.flagshipFrame(s, dir)
+      .select("id", "uprn", "cx", "cy", "area_m2", "npix", "frac_greenleaf")
+      .coalesce(1).write.mode("overwrite").parquet(vegPath)
+    // q27/q28: each query's ANN candidate set, so the oracle re-runs the
+    // exact fp64 cosine rerank over the SAME candidates (recall itself is
+    // a unit-test property; the oracle pins the rerank algebra)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    graft.functions.Ann.lshCandidates(emb, col("vec_id") % 100 === 0, 64,
+        nPlanes = 16, nTables = 8)
+      .select("query_id", "neighbor_id").coalesce(1)
+      .write.mode("overwrite").parquet(annLshPath)
+    graft.functions.Ann.ivfCandidates(emb, col("vec_id") % 100 === 0, 64,
+        nList = 32, nProbe = 8)
+      .select("query_id", "neighbor_id").coalesce(1)
+      .write.mode("overwrite").parquet(annIvfPath)
+  }
+}

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle sidecars first (one place; see Sidecars scaladoc) — the
+    // o26/o31/o32/o33/o27/o28 SQL reads them back
+    try Sidecars.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] sidecar setup failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

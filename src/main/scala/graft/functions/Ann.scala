@@ -71,8 +71,16 @@ object Ann {
     * all-pairs product. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int,
               nPlanes: Int = 12, nTables: Int = 4, probe1Bit: Boolean = true,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              seed: Long = 42L): DataFrame =
+    rankTopK(lshCandidates(emb, queryPred, dim, nPlanes, nTables, probe1Bit, seed), k)
+
+  /** The scored LSH candidate set (query_id, neighbor_id, cos) BEFORE the
+    * top-k window — exposed so a SQL oracle can re-run the exact-cosine
+    * rerank over the very same candidates and pin the rerank/window/
+    * tiebreak algebra bit-for-bit. */
+  def lshCandidates(emb: DataFrame, queryPred: Column, dim: Int,
+                    nPlanes: Int = 12, nTables: Int = 4, probe1Bit: Boolean = true,
+                    seed: Long = 42L): DataFrame = {
     import graft.pipeline.Exprs.{col => ec, expr => ee}
     val withBuckets = emb.withColumn("buckets",
       ec(SignLshBuckets(ee(col("embedding")), dim, nPlanes, nTables, seed)))
@@ -89,12 +97,18 @@ object Ann {
           explode(array((lit(0L) +: (0 until nPlanes).map(b => lit(1L << b)))
             .map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
       else qBase
-    val cand = q.join(flat.select(col("vec_id").as("neighbor_id"),
+    q.join(flat.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("bucket")), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
       // a pair can collide in several tables/probes; cos is identical
       .groupBy("query_id", "neighbor_id").agg(min("cos").as("cos"))
+  }
+
+  /** Exact-cosine top-k window over a scored candidate frame
+    * (query_id, neighbor_id, cos): deterministic neighbor_id tiebreak. */
+  def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -162,8 +176,14 @@ object Ann {
     * (classic IVF sizing) and nProbe buys recall independently. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int,
               nList: Int = 64, nProbe: Int = 8, iters: Int = 8,
-              maxTrain: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              maxTrain: Int = 4096): DataFrame =
+    rankTopK(ivfCandidates(emb, queryPred, dim, nList, nProbe, iters, maxTrain), k)
+
+  /** The scored IVF candidate set (query_id, neighbor_id, cos) before the
+    * top-k window (see [[lshCandidates]] for why it is exposed). */
+  def ivfCandidates(emb: DataFrame, queryPred: Column, dim: Int,
+                    nList: Int = 64, nProbe: Int = 8, iters: Int = 8,
+                    maxTrain: Int = 4096): DataFrame = {
     import graft.pipeline.Exprs.{col => ec, expr => ee}
     val centroids = trainIvfCentroids(emb, dim, nList, iters, maxTrain)
     val assigned = emb.select(col("vec_id").as("neighbor_id"),
@@ -172,13 +192,10 @@ object Ann {
     val q = emb.where(queryPred).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"),
       explode(ec(IvfLists(ee(col("embedding")), centroids, nProbe))).as("list"))
-    val cand = q.join(assigned, Seq("list"))
+    q.join(assigned, Seq("list"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(min("cos").as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
   }
 }
 

@@ -80,6 +80,8 @@ trait GridSystem extends Serializable {
   def kRing(cell: Long, k: Int): Array[Long]
   /** Points outside kRing(cell, k) are at least this far from any point in `cell`. */
   def minDistOutsideRing(k: Int): Double
+  /** Number of cells in kRing(_, k) — the explode factor of a ring join. */
+  def ringCellCount(k: Int): Long
 }
 
 object GridSystem {
@@ -89,6 +91,7 @@ object GridSystem {
       ZIndex.cellId(math.floor(x).toInt, math.floor(y).toInt)
     def kRing(cell: Long, k: Int): Array[Long] = ZIndex.kRing(cell, k)
     def minDistOutsideRing(k: Int): Double = k.toDouble
+    def ringCellCount(k: Int): Long = (2L * k + 1) * (2L * k + 1)
   }
 
   final case class Hex(size: Double) extends GridSystem {
@@ -96,5 +99,6 @@ object GridSystem {
     def cellOf(x: Double, y: Double): Long = hex.cellOf(x, y)
     def kRing(cell: Long, k: Int): Array[Long] = hex.kRing(cell, k)
     def minDistOutsideRing(k: Int): Double = hex.minDistOutsideRing(k)
+    def ringCellCount(k: Int): Long = 3L * k * (k + 1) + 1
   }
 }

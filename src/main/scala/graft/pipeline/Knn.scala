@@ -54,12 +54,19 @@ case class KRingCells(cell: Expression, k: Int,
   * the ring provably covers the joint data extent (minDistOutsideRing(r)
   * exceeds the query∪point bounding-box diagonal): at that radius every
   * point is a candidate for every remaining query, so the top-k is exact
-  * by definition — including queries with fewer than k neighbours. No
-  * crossJoin exists on any path: a sparse-region straggler costs
-  * O((extent/cellSize)²) ring CELL KEYS (8-byte longs joined against the
-  * point cells), never an O(N) scan of the points themselves. Choose the
-  * grid cell size near the typical k-th-neighbour distance so stragglers
-  * are rare and rings stay small.
+  * by definition — including queries with fewer than k neighbours.
+  *
+  * Ring cap: exploding a ring costs ringCellCount(r) cell keys PER
+  * remaining query; for sparse/wide extents that (2r+1)² blow-up would
+  * dwarf the points table itself. Once ringCellCount(r) exceeds
+  * max(|points|, ringCap), the remaining straggler set is instead
+  * all-pairs joined against the points with the smaller side broadcast
+  * (a bounded BroadcastNestedLoopJoin — one pass over the bigger side,
+  * no shuffle, no cell explosion) — exact by definition, and strictly
+  * cheaper than the ring it replaces. The equi-join ring path never
+  * produces a cartesian/BNLJ plan. Choose the grid cell size near the
+  * typical k-th-neighbour distance so stragglers are rare and rings
+  * stay small.
   *
   * Coordinates are in cell units (1 cell = 1 unit). Columns:
   * queries(qid, qx, qy), points(pid, px, py) -> (qid, rank, pid, dist2).
@@ -69,7 +76,8 @@ object KnnJoin {
 
   def run(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
           initialRing: Int = 1,
-          grid: GridSystem = GridSystem.Square): DataFrame = {
+          grid: GridSystem = GridSystem.Square,
+          ringCap: Long = 4096L): DataFrame = {
     val pts = points.withColumn("pcell", ec(PointCell(ee(col("px")), ee(col("py")), grid)))
 
     // Coverage radius: one bounded agg per side (4 doubles each). Once
@@ -77,7 +85,7 @@ object KnnJoin {
     // farther than the largest possible query↔point distance — i.e. no
     // such point exists and the ring covers the whole points table.
     val qb = queries.agg(min("qx"), max("qx"), min("qy"), max("qy")).head()
-    val pb = points.agg(min("px"), max("px"), min("py"), max("py")).head()
+    val pb = points.agg(min("px"), max("px"), min("py"), max("py"), count(lit(1))).head()
     if (qb.isNullAt(0) || pb.isNullAt(0))
       return queries.sparkSession.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0).as("rank"), lit(0L).as("pid"), lit(0.0).as("dist2"))
@@ -85,6 +93,17 @@ object KnnJoin {
     val dx = math.max(qb.getDouble(1), pb.getDouble(1)) - math.min(qb.getDouble(0), pb.getDouble(0))
     val dy = math.max(qb.getDouble(3), pb.getDouble(3)) - math.min(qb.getDouble(2), pb.getDouble(2))
     val maxDist = math.sqrt(dx * dx + dy * dy)
+    val nPoints = pb.getLong(4)
+
+    val dist2Col =
+      (col("px") - col("qx")) * (col("px") - col("qx")) +
+        (col("py") - col("qy")) * (col("py") - col("qy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist2"), col("pid"))
+    def rank(cand: DataFrame): DataFrame = cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "pid", "dist2")
 
     var remaining = queries
     var results: DataFrame = null
@@ -92,23 +111,30 @@ object KnnJoin {
     var done = false
     while (!done && !remaining.isEmpty) {
       val covered = grid.minDistOutsideRing(r) > maxDist
+      if (grid.ringCellCount(r) > math.max(nPoints, ringCap)) {
+        // Ring cap (see scaladoc): the ring would explode more cell keys
+        // than there are points. All-pairs over the remaining straggler
+        // set is exact by definition and strictly cheaper; broadcast the
+        // smaller side so the bigger one streams without a shuffle.
+        val nRemaining = remaining.count()
+        val cand = (if (nRemaining <= nPoints) pts.crossJoin(broadcast(remaining))
+                    else remaining.crossJoin(broadcast(pts)))
+          .where(col("qid") =!= col("pid"))
+          .withColumn("dist2", dist2Col)
+        val ranked = rank(cand)
+        results = if (results == null) ranked else results.unionAll(ranked)
+        done = true
+      } else {
       val cand = remaining
         .withColumn("qcell", ec(PointCell(ee(col("qx")), ee(col("qy")), grid)))
         .withColumn("cell", explode(ec(KRingCells(ee(col("qcell")), r, grid))))
         .join(pts, col("cell") === col("pcell"))
         .where(col("qid") =!= col("pid"))
-        .withColumn("dist2",
-          (col("px") - col("qx")) * (col("px") - col("qx")) +
-            (col("py") - col("qy")) * (col("py") - col("qy")))
+        .withColumn("dist2", dist2Col)
       // no dedup needed: ring cells are distinct and each point lives in
       // exactly one cell, so every (query, point) pair matches at most once
 
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("dist2"), col("pid"))
-      val ranked = cand
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("qid", "rank", "pid", "dist2")
+      val ranked = rank(cand)
 
       if (covered) {
         // every point was a candidate: ranked is exact for ALL remaining
@@ -132,6 +158,7 @@ object KnnJoin {
         remaining = remaining.join(status.where(col("exact")).select("qid"), Seq("qid"), "left_anti")
           .localCheckpoint()
         r *= 2
+      }
       }
     }
     if (results == null) queries.select(col("qid"), lit(0).as("rank"),

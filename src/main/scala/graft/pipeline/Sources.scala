@@ -113,13 +113,20 @@ object Reports {
       Seq(col("id"), col("cx"), col("cy"), col("area_m2"), col("uprn")) ++
         kernelNames.map(n => col(s"frac_$n")): _*).collect()
 
-    // summary (analyse_polygons.py:135-155): totals from the DISTRIBUTED
-    // aggregate (one row to the driver) — the collected rows above are
-    // only for the by-definition-single-file CSV formatting, and at scale
-    // the totals must not depend on that collect
-    val sm = VegPipeline.summarize(perGarden, kernelNames).head()
-    val totalArea = sm.getDouble(0)
-    val totalVeg = kernelNames.indices.map(i => sm.getDouble(1 + i)).toArray
+    // summary (analyse_polygons.py:135-155): the reference accumulates
+    // `+=` over features IN PROCESSING ORDER, and commaFixed2's last
+    // decimal is sensitive to fp accumulation order — a distributed
+    // double sum is partition-order dependent and can flake that byte.
+    // So the byte-for-byte summary replays the reference's sequential
+    // accumulation over the rows ALREADY collected for the CSV (sorted,
+    // deterministic); VegPipeline.summarize is the distributed scale
+    // path for summary totals when byte parity is not required.
+    var totalArea = 0.0
+    val totalVeg = new Array[Double](kernelNames.length)
+    rows.foreach { r =>
+      totalArea += r.getDouble(3)
+      kernelNames.indices.foreach(i => totalVeg(i) += r.getDouble(3) * r.getDouble(5 + i))
+    }
     val summary = new java.io.PrintWriter(prefix + "-summary.txt", "UTF-8")
     try {
       summary.println(s"Total surface area: ${PyFormat.commaFixed2(totalArea)}m²")

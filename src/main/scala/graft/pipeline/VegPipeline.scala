@@ -399,12 +399,20 @@ object VegPipeline extends org.apache.spark.internal.Logging {
   }
 
   /** Global summary (A2): total area, per-index vegetation area + pct
-    * (reference: analyse_polygons.py:135-155). */
+    * (reference: analyse_polygons.py:135-155). Each double term is cast
+    * to DECIMAL(28,4) before summing: decimal addition is exact, so the
+    * totals are independent of partition/association order — a plain
+    * double sum would drift in its last bits run-to-run at scale (and a
+    * SQL oracle doing the same cast reproduces them bit-for-bit). Scale 4
+    * (sub-cm² on m² values) stays far from the ~16-significant-digit edge
+    * of a double, where Spark's shortest-repr-based double→decimal cast
+    * and an exact-binary cast could round a digit apart. */
   def summarize(perGarden: DataFrame, kernelNames: Seq[String]): DataFrame = {
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,4)")).cast("double")
     val aggs = kernelNames.flatMap { name =>
-      Seq(sum(col("area_m2") * col(s"frac_$name")).as(s"veg_area_$name"))
+      Seq(dsum(col("area_m2") * col(s"frac_$name")).as(s"veg_area_$name"))
     }
-    val base = perGarden.agg(sum(col("area_m2")).as("total_area_m2"), aggs: _*)
+    val base = perGarden.agg(dsum(col("area_m2")).as("total_area_m2"), aggs: _*)
     val pctCols = kernelNames.map { name =>
       (col(s"veg_area_$name") / col("total_area_m2") * 100.0).as(s"veg_pct_$name")
     }

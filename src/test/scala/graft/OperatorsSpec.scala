@@ -127,7 +127,11 @@ class OperatorsSpec extends AnyFunSuite {
     val points = pts.toDF("pid", "px", "py")
     val queries = pts.take(40).map { case (i, x, y) => (i, x, y) }.toSeq.toDF("qid", "qx", "qy")
 
-    val got = KnnJoin.run(spark, queries, points, k = 5)
+    val res = KnnJoin.run(spark, queries, points, k = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "dense kNN must stay on the equi-join ring path")
+    val got = res
       .select("qid", "rank", "pid").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
 
@@ -159,10 +163,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("kNN stragglers (sparse regions) resolve without any crossJoin") {
+  test("kNN stragglers (sparse regions) hit the ring cap, not a cell explosion") {
     import spark.implicits._
-    // a dense cluster plus one far-isolated query: ring doubling must
-    // reach coverage, never fall back to an O(N) scan of the points
+    // a dense cluster plus one far-isolated query: ring doubling stops at
+    // the cap (ringCellCount > max(|points|, ringCap)) and the straggler
+    // resolves via a bounded broadcast of the 1-query remaining set — NOT
+    // by exploding the ~1.9M ring cells coverage would need, and NOT by a
+    // shuffled cartesian over the points
     val cluster = (0 until 60).map(i => (i.toLong, (i % 10) * 0.2, (i / 10) * 0.2))
     val far = Seq((999L, 500.0, 480.0))
     val pts = cluster ++ far
@@ -171,7 +178,8 @@ class OperatorsSpec extends AnyFunSuite {
     val res = KnnJoin.run(spark, queries, points, k = 5)
     val plan = res.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "kNN plan contains a cartesian product")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "kNN plan contains a nested-loop join")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "straggler did not take the capped broadcast fallback")
     val got = res.select("qid", "rank", "pid").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
     val want = Seq((999L, 500.0, 480.0), (0L, 0.0, 0.0)).flatMap { case (qid, qx, qy) =>

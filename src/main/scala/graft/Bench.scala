@@ -52,10 +52,18 @@ object Bench {
     s
   }
 
+  final case class BenchData(tilesPath: String, gardensPath: String,
+                             gridW: Int, gridH: Int, ts: Int, nGardens: Long,
+                             tilesQuarterPath: String, cirQuarterPath: String,
+                             gridHq: Int, geojsonlPath: String) {
+    def nTiles: Long = gridW.toLong * gridH
+    def nTilesQuarter: Long = gridW.toLong * gridHq
+  }
+
   /** Deterministic bench tile/garden tables, generated once to parquet so
     * benchmark runs measure the engine (parquet scan + join + kernels),
     * not the generator. */
-  private def benchData(spark: SparkSession, sfDir: String): (String, String, Int, Int, Int, Long) = {
+  private def benchData(spark: SparkSession, sfDir: String): BenchData = {
     // sf0.1 runs a 400x1200 extent (480,000 256px jpg tiles): every id
     // is a VALID OSGB code (the synthetic base (400,100) caps a valid
     // grid at 400 wide x 1200 tall; round 2's 576x576 table had only
@@ -90,7 +98,40 @@ object Bench {
         .repartition(8)
         .write.mode("overwrite").parquet(gardensPath)
     }
-    (tilesPath, gardensPath, gridW, gridH, ts, nGardens)
+    // quarter-height RGB + CIR jpg tables: (a) the IRGB fused-join (S3/J2)
+    // datapoint, (b) the second job size of the t = c + W/p fit that
+    // cancels the fixed per-job cost out of the 8->32 efficiency
+    val gridHq = math.max(gridH / 4, 1)
+    val tilesQPath = s"$root/tilesjpg_g${gridW}x${gridHq}_ts$ts"
+    val cirQPath = s"$root/tilescirjpg_g${gridW}x${gridHq}_ts$ts"
+    if (!Files.exists(Paths.get(tilesQPath))) {
+      Synthetic.tilesJpg(spark, gridW, gridHq, ts)
+        .repartition(192)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tilesQPath)
+    }
+    if (!Files.exists(Paths.get(cirQPath))) {
+      Synthetic.tilesCirJpg(spark, gridW, gridHq, ts)
+        .repartition(96)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(cirQPath)
+    }
+    // the same gardens as newline-delimited GeoJSON (S1 scale-path ingest
+    // datapoint; double coordinates round-trip bit-exactly through JSON)
+    val geojsonlPath = s"$root/gardens_n${nGardens}_g${gridW}x$gridH.geojsonl"
+    if (!Files.exists(Paths.get(geojsonlPath))) {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(gardensPath).select(to_json(struct(
+          lit("Feature").as("type"),
+          struct(col("id"), col("uprn")).as("properties"),
+          struct(lit("MultiPolygon").as("type"), col("geometry").as("coordinates")).as("geometry")))
+          .as("value"))
+        .write.mode("overwrite").text(geojsonlPath)
+    }
+    BenchData(tilesPath, gardensPath, gridW, gridH, ts, nGardens,
+      tilesQPath, cirQPath, gridHq, geojsonlPath)
   }
 
   private def cfgOf(ts: Int) = VegPipeline.Config(
@@ -108,11 +149,18 @@ object Bench {
     * as the cross-parallelism output fingerprint (north rule: join output
     * rows and tile assignments must MATCH at N and 4N). */
   private def runFlagship(spark: SparkSession, idx: VegPipeline.PolyIndex,
-                          tilesPath: String, ts: Int): (Long, Long) = {
+                          tilesPath: String, ts: Int): (Long, Long) =
+    runScore(spark, idx, tilesPath, cfgOf(ts), None)
+
+  private def runScore(spark: SparkSession, idx: VegPipeline.PolyIndex,
+                       tilesPath: String, cfg: VegPipeline.Config,
+                       cirPath: Option[String]): (Long, Long) = {
     import org.apache.spark.sql.functions._
-    val res = VegPipeline.scoreAgainst(spark, idx, spark.read.parquet(tilesPath), cfgOf(ts))
+    val res = VegPipeline.scoreAgainst(spark, idx, spark.read.parquet(tilesPath), cfg,
+      cirPath.map(spark.read.parquet))
     // consume npix + fractions so Catalyst cannot prune the scoring join
-    val row = res.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
+    val fracs = cfg.kernelNames.map(n => sum(col(s"frac_$n")))
+    val row = res.agg(count(lit(1)), (sum("npix") +: fracs): _*).collect()(0)
     require(row.getAs[Long](1) > 0, "flagship produced no scored pixels")
     (row.getAs[Long](0), row.getAs[Long](1))
   }
@@ -131,7 +179,8 @@ object Bench {
     // ---------- part 1: headline queries at local[cpus]
     // relational queries: DEFAULT reader configs (no image-table tunings)
     val spark = newSession(cpus, tileConfs = false)
-    val (tilesPath, gardensPath, gridW, gridH, ts, nGardens) = benchData(spark, sfDir)
+    val bd = benchData(spark, sfDir)
+    import bd.{tilesPath, gardensPath, gridW, gridH, ts, nGardens}
     // the flagship runs in a sibling session with the image-table parquet
     // confs, sharing the same SparkContext/executors
     val tileS = spark.newSession()
@@ -144,18 +193,42 @@ object Bench {
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)
     runFlagship(tileS, idx0, tilesPath, ts) // warm (JIT + scan caches)
+    // IRGB fused-join datapoint (S3/J2: RGB ⋈ CIR + Ir-fusion kernels) on
+    // the quarter-height tables, same interleaved protocol
+    val irgbCfg = VegPipeline.Config(tileSize = ts,
+      kernelNames = Seq("ndvi-irgb", "matt"), handleMissingTiles = false)
+    def runIrgb(): (Long, Long) =
+      runScore(tileS, idx0, bd.tilesQuarterPath, irgbCfg, Some(bd.cirQuarterPath))
+    runIrgb() // warm
 
     val headlineReps =
       (1 to headlineRounds).map { _ =>
-        headline.map(name => time(SparkEntry.queries(name)(spark, sfDir).count())._1) :+
-          time(runFlagship(tileS, idx0, tilesPath, ts))._1
+        headline.map(name => time(SparkEntry.queries(name)(spark, sfDir).count())._1) ++
+          Seq(time(runFlagship(tileS, idx0, tilesPath, ts))._1, time(runIrgb())._1)
       }
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    (headline :+ "q30_veg_flagship").zipWithIndex.foreach { case (name, i) =>
+    (headline ++ Seq("q30_veg_flagship", "q34_irgb_fused")).zipWithIndex.foreach { case (name, i) =>
       queryTimes(name) = headlineReps.map(_(i)).min
     }
     val tFlag = queryTimes("q30_veg_flagship")
+    val tIrgb = queryTimes("q34_irgb_fused")
     val (nRows, nPix) = runFlagship(tileS, idx0, tilesPath, ts)
+
+    // GeoJSONL ingest datapoint (S1 scale path): normalize the line-based
+    // garden file, rebuild the index from it, and prove the flagship
+    // output fingerprint is identical to the parquet-garden run
+    val (tIngest, gardensFromLines) = time {
+      val g = graft.pipeline.GeoJson.readGardensLines(tileS, bd.geojsonlPath,
+        crsName = "urn:ogc:def:crs:EPSG::27700")
+      g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.count()
+      g
+    }
+    val idxG = VegPipeline.buildIndex(tileS, gardensFromLines, ts)
+    idxG.cellPolys.count()
+    val (tFlagGeo, fpGeo) = time(runFlagship(tileS, idxG, tilesPath, ts))
+    require(fpGeo == ((nRows, nPix)),
+      s"GeoJSONL-ingested flagship fingerprint $fpGeo != parquet ($nRows, $nPix)")
     spark.stop()
 
     // ---------- part 2: the N vs 4N scaling experiment
@@ -171,16 +244,32 @@ object Bench {
     //   * SECONDARY 8 vs 32 — reported with the same-run no-Spark kernel
     //     ceiling so the host's share of the gap is visible.
     val nTiles = gridW.toLong * gridH
-    def repsAt(cpus: Int, n: Int): Seq[Double] = {
+    val nTilesQ = bd.nTilesQuarter
+    var fpQuarter: Option[(Long, Long)] = None
+    /** One session per (cores) level: full-size reps AND quarter-size reps
+      * (same kernels, same gardens, quarter-height tile table). Two job
+      * sizes turn the level into a t(n) = c + n*w line whose SLOPE is free
+      * of the fixed per-job cost c (planning/scheduling/collect) — the
+      * marginal efficiency w_N/(4*w_4N) is the amortized-scaling number a
+      * bigger table would converge to, measured without one. */
+    def repsAt(cpus: Int, n: Int): (Seq[Double], Seq[Double]) = {
       val s = newSession(cpus, tileConfs = true)
       val idx = buildIndex(s, gardensPath, ts)
       val (rows, pix) = runFlagship(s, idx, tilesPath, ts) // warm
       // north rule: identical join output at every cluster size
       require(rows == nRows && pix == nPix,
         s"output mismatch at local[$cpus]: ($rows, $pix) != ($nRows, $nPix)")
+      val fpQ = runScore(s, idx, bd.tilesQuarterPath, cfgOf(ts), None) // warm quarter
+      fpQuarter match {
+        case Some(exp) => require(fpQ == exp,
+          s"quarter-job output mismatch at local[$cpus]: $fpQ != $exp")
+        case None => fpQuarter = Some(fpQ)
+      }
       val reps = (1 to n).map(_ => time(runFlagship(s, idx, tilesPath, ts))._1)
+      val repsQ = (1 to n).map(_ =>
+        time(runScore(s, idx, bd.tilesQuarterPath, cfgOf(ts), None))._1)
       s.stop()
-      reps
+      (reps, repsQ)
     }
     // machine ceiling: raw kernel (decode) thread-scaling without Spark,
     // as the upper bound any end-to-end number can be judged against.
@@ -211,12 +300,27 @@ object Bench {
     }
 
     final case class Attempt(reps2: Seq[Double], reps8: Seq[Double], reps32: Seq[Double],
+                             reps2q: Seq[Double], reps8q: Seq[Double], reps32q: Seq[Double],
                              kernel28: (Double, Double), kernel832: (Double, Double)) {
       val t2: Double = reps2.min
       val t8: Double = reps8.min
       val t32: Double = reps32.min
+      val t2q: Double = reps2q.min
+      val t8q: Double = reps8q.min
+      val t32q: Double = reps32q.min
       val eff28: Double = t2 / (4.0 * t8)
       val eff832: Double = t8 / (4.0 * t32)
+      // t(n) = c + n*w per level; the slope w cancels the fixed per-job
+      // cost, the intercept c estimates it (both from min-of-reps times)
+      private val dn = (nTiles - nTilesQ).toDouble
+      def w(full: Double, quarter: Double): Double = (full - quarter) / dn
+      val w2: Double = w(t2, t2q)
+      val w8: Double = w(t8, t8q)
+      val w32: Double = w(t32, t32q)
+      val c8: Double = t8q - nTilesQ * w8
+      val c32: Double = t32q - nTilesQ * w32
+      val effM28: Double = w2 / (4.0 * w8)
+      val effM832: Double = w8 / (4.0 * w32)
       val kEff28: Double = kernel28._1 / (4.0 * kernel28._2)
       val kEff832: Double = kernel832._1 / (4.0 * kernel832._2)
       /** Instrument quality: how well the hypervisor delivered cores
@@ -232,7 +336,9 @@ object Bench {
     def attemptOnce(): Attempt = {
       val rounds = (1 to 2).map(_ => (repsAt(2, 2), repsAt(8, 2), repsAt(32, 2)))
       val (k28, k832) = kernelPair()
-      Attempt(rounds.flatMap(_._1), rounds.flatMap(_._2), rounds.flatMap(_._3), k28, k832)
+      Attempt(rounds.flatMap(_._1._1), rounds.flatMap(_._2._1), rounds.flatMap(_._3._1),
+        rounds.flatMap(_._1._2), rounds.flatMap(_._2._2), rounds.flatMap(_._3._2),
+        k28, k832)
     }
     // Retry-on-degraded-epoch: the hypervisor withholds cores in whole
     // epochs (kernel ceiling swings 0.3-0.95 within minutes). An attempt
@@ -261,6 +367,13 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.values.sum
+    // two-size t(n) = c + n*w fit: marginal (fixed-cost-free) efficiencies
+    val twosize =
+      f"""{"tiles_quarter":$nTilesQ,"t2_quarter":${a.t2q}%.3f,"t8_quarter":${a.t8q}%.3f,"t32_quarter":${a.t32q}%.3f,""" +
+        f""""w2_us_per_tile":${a.w2 * 1e6}%.2f,"w8_us_per_tile":${a.w8 * 1e6}%.2f,"w32_us_per_tile":${a.w32 * 1e6}%.2f,""" +
+        f""""c8_sec":${a.c8}%.3f,"c32_sec":${a.c32}%.3f,""" +
+        f""""eff_marginal_2_8":${a.effM28}%.3f,"eff_marginal_8_32":${a.effM832}%.3f,""" +
+        f""""tiles_per_sec_32_marginal":${1.0 / a.w32}%.1f}"""
     val scaling =
       f"""{"tiles":$nTiles,"gardens":$nGardens,"tile_px":$ts,"rows":$nRows,"npix":$nPix,"output_match_all_levels":true,""" +
         f""""efficiency_2_8":$efficiency28%.3f,"efficiency_8_32":$efficiency832%.3f,""" +
@@ -270,23 +383,36 @@ object Bench {
         f""""kernel_t2_12k":${kernel28._1}%.3f,"kernel_t8_12k":${kernel28._2}%.3f,""" +
         f""""kernel_t8_48k":${kernel832._1}%.3f,"kernel_t32_48k":${kernel832._2}%.3f,""" +
         f""""kernel_efficiency_2_8":$kernelEff28%.3f,"kernel_efficiency_8_32":$kernelEff832%.3f,""" +
+        f""""twosize":$twosize,""" +
         f""""attempts":${attempts.size},""" +
         f""""attempt_qualities":[${attempts.map(x => f"${x.quality}%.3f").mkString(",")}],""" +
         f""""attempt_eff_2_8":[${attempts.map(x => f"${x.eff28}%.3f").mkString(",")}],""" +
-        f""""attempt_eff_8_32":[${attempts.map(x => f"${x.eff832}%.3f").mkString(",")}]}"""
+        f""""attempt_eff_8_32":[${attempts.map(x => f"${x.eff832}%.3f").mkString(",")}],""" +
+        f""""attempt_eff_marginal_8_32":[${attempts.map(x => f"${x.effM832}%.3f").mkString(",")}]}"""
+    val irgbRate = bd.nTilesQuarter / tIrgb
+    val extras =
+      f""""irgb":{"tiles":${bd.nTilesQuarter},"t_sec":$tIrgb%.3f,"tiles_per_sec":$irgbRate%.1f,"rgb_per_tile_ratio":${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f},""" +
+        f""""geojsonl":{"ingest_sec":$tIngest%.3f,"flagship_sec":$tFlagGeo%.3f,"fingerprint_match":true}"""
     val jsonLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,"scaling":$scaling}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,$extras,"scaling":$scaling}"""
     println(jsonLine)
     // belt and braces for the driver: the same single line as a file,
     // immune to any logger decoration of stdout
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/last_run.json"), jsonLine + "\n")
 
-    // append the scaling evidence to BENCH/BASELINE.md
+    // append the scaling evidence to BENCH/BASELINE.md. The data row
+    // format is versioned by its table header: if the file predates the
+    // current layout (header line absent), a fresh table section is
+    // started so new rows never misalign under an old header.
     val benchDir = Paths.get("BENCH")
     Files.createDirectories(benchDir)
     val md = new StringBuilder
     val f = benchDir.resolve("BASELINE.md")
+    val tableHeader =
+      "| sf | tiles | px | gardens | rows | t2/t8/t32 (s) | eff(2→8) | kernel(2→8) | eff(8→32) | kernel(8→32) | effM(2→8) | effM(8→32) | tiles/s @32 |"
+    val hasCurrentHeader =
+      Files.exists(f) && Files.readString(f).contains(tableHeader)
     if (!Files.exists(f)) {
       md.append("# BENCH — engine throughput + cluster-size scaling evidence\n\n")
       md.append("Flagship job: polygon-tile spatial join + 2-index vegetation\n")
@@ -294,13 +420,23 @@ object Bench {
       md.append("(input_hint schema). N vs 4N executors proxied by core pairs on\n")
       md.append("identical input (north-rule criterion, target ≥0.8): PRIMARY 2→8\n")
       md.append("(the pair the hypervisor can actually co-schedule), SECONDARY 8→32\n")
-      md.append("reported against the same-run no-Spark kernel ceiling.\n\n")
-      md.append("| sf | tiles | px | gardens | rows | t2/t8/t32 (s) | eff(2→8) | kernel(2→8) | eff(8→32) | kernel(8→32) | tiles/s @32 |\n")
-      md.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
+      md.append("reported against the same-run no-Spark kernel ceiling.\n")
+    }
+    if (!hasCurrentHeader) {
+      md.append("\neffM columns: fixed-cost-free MARGINAL efficiency from the two-job-size\n")
+      md.append("t(n) = c + n·w fit per core level (w = slope sec/tile; the per-job constant\n")
+      md.append("c cancels, so this is the number a 4× bigger table would converge to).\n\n")
+      md.append(tableHeader + "\n")
+      md.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|\n")
     }
     md.append(f"| $sfDir jpg | $nTiles | $ts | $nGardens | $nRows " +
       f"| $t2%.2f / $t8%.2f / $t32%.2f | $efficiency28%.3f | $kernelEff28%.3f " +
-      f"| $efficiency832%.3f | $kernelEff832%.3f | $tput32%.1f |\n")
+      f"| $efficiency832%.3f | $kernelEff832%.3f | ${a.effM28}%.3f | ${a.effM832}%.3f | $tput32%.1f |\n")
+    md.append(f"  - two-size fit: quarter=$nTilesQ tiles, t8q=${a.t8q}%.2f s, t32q=${a.t32q}%.2f s, " +
+      f"w8=${a.w8 * 1e6}%.1f µs/tile, w32=${a.w32 * 1e6}%.1f µs/tile, c8=${a.c8}%.2f s, c32=${a.c32}%.2f s; " +
+      f"IRGB fused ${bd.nTilesQuarter} tiles in $tIrgb%.2f s (${irgbRate}%.0f tiles/s, " +
+      f"${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f× RGB per-tile cost); " +
+      f"GeoJSONL ingest $tIngest%.2f s + flagship $tFlagGeo%.2f s, fingerprint match\n")
     Files.writeString(f, md.toString,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }

@@ -746,17 +746,17 @@ object Queries {
       .orderBy("media_id", "mean_b")
   }
 
-  /** Multimodal: audio RMS / zero-crossing features. */
+  /** Multimodal: audio RMS / zero-crossing features via the native
+    * [[graft.media.AudioFeatures]] expression (no typed map — stays
+    * inside the columnar plan beside the other media expressions). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     import graft.media._
-    val auds = SyntheticMedia.audios(s, 32)
-    import s.implicits._
-    auds.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val f = MediaCodec.audioFeatures(bytes)
-        (id, f.map(_._1).getOrElse(-1.0), f.map(_._2).getOrElse(-1.0))
-      }.toDF("media_id", "rms", "zcr")
-      .select(col("media_id"), round(col("rms"), 3).as("rms"), round(col("zcr"), 5).as("zcr"))
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    SyntheticMedia.audios(s, 32)
+      .select(col("media_id"), ec(AudioFeatures(ee(col("bytes")))).as("f"))
+      .select(col("media_id"),
+        round(coalesce(col("f.rms"), lit(-1.0)), 3).as("rms"),
+        round(coalesce(col("f.zcr"), lit(-1.0)), 5).as("zcr"))
       .orderBy("media_id")
   }
 

@@ -211,6 +211,21 @@ object Synthetic {
     }.toDF()
   }
 
+  /** Jpg-encoded CIR tile table (bench variant of [[tilesCir]], same
+    * half-resolution Ir raster; jpg keeps the table small enough that the
+    * fused-join bench measures decode+join+classify, not page cache). */
+  def tilesCirJpg(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(gridW.toLong * gridH).map { i =>
+      val e = BaseE + (i % gridW).toInt
+      val n = BaseN + (i / gridW).toInt
+      val raster = tileRasterCir(e, n, ts, seed)
+      val code = TileCode.fromEastingsNorthings(e, n)
+      TileRow(code, graft.img.Quality.encodeJPEG(raster, 0.92f), raster.w, raster.h, "jpg",
+        s"synthetic CIR jpg tile $code size=${raster.w}px", aHash(raster))
+    }.toDF()
+  }
+
   def makeTile(e: Int, n: Int, ts: Int, seed: Long): TileRow = {
     val raster = tileRaster(e, n, ts, seed)
     val code = TileCode.fromEastingsNorthings(e, n)

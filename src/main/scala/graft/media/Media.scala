@@ -174,6 +174,22 @@ case class FrameFeatures(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** audio_features(bytes) -> struct(rms, zcr); null for non-audio payloads
+  * (mirrors the corrupt-input-tolerant decode contract of the other media
+  * expressions — a bad row nulls out instead of failing the job). */
+case class AudioFeatures(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MediaCodec.audioFeatures(v.asInstanceOf[Array[Byte]]) match {
+      case Some((rms, zcr)) => InternalRow(rms, zcr)
+      case None => null
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** resize_frame(png, w, h) -> png (area-average). */
 case class ResizeFrame(child: Expression, w: Int, h: Int)
     extends UnaryExpression with CodegenFallback {

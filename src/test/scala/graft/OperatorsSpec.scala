@@ -540,6 +540,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rms > 100 && zcr > 0.0 && zcr < 0.5)
   }
 
+  test("AudioFeatures expression matches the scalar decode; nulls on non-audio") {
+    import graft.media._
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    val a = SyntheticMedia.makeAudio(3L, 2000, 42L)
+    val rows = Seq((3L, a.bytes), (4L, "not-audio-bytes".getBytes("ASCII")))
+      .toDF("media_id", "bytes")
+      .select(c("media_id"), ec(AudioFeatures(ee(c("bytes")))).as("f"))
+      .select(c("media_id"), c("f.rms"), c("f.zcr"))
+      .orderBy("media_id").collect()
+    val Some((rms, zcr)) = MediaCodec.audioFeatures(a.bytes)
+    assert(rows(0).getDouble(1) == rms && rows(0).getDouble(2) == zcr)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("media expressions run distributed over the synthetic video table") {
     import graft.media._
     import graft.pipeline.Exprs.{col => ec, expr => ee}

@@ -56,7 +56,14 @@ object Exprs {
   * (reference: calculate_indices.py:110-137 + image_loaders.py:201-213,
   * 257-294 prep portions) */
 case class PrepareGarden(gid: Expression, geometry: Expression, crs: Expression,
-                         tileSize: Int)
+                         tileSize: Int,
+                         /** Covering-cell grid for the polygon⋈tile join.
+                           * Square = one cell per km tile (reference
+                           * semantics). A hex grid (H3-style) covers via
+                           * the hexes of the covered tiles' CENTERS — a
+                           * superset match whose extra fragments score
+                           * zero pixels, so sums are bit-identical. */
+                         grid: graft.index.GridSystem = graft.index.GridSystem.Square)
     extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(gid, geometry, crs)
   override def nullable: Boolean = false
@@ -84,7 +91,11 @@ case class PrepareGarden(gid: Expression, geometry: Expression, crs: Expression,
     val (cx, cy) = raw.centroid
     val area = gKm.area * 1000.0 * 1000.0
     val (mnx, mny, mxx, mxy) = gKm.bounds
-    val cells = ZIndex.coverBounds(mnx, mny, mxx, mxy)
+    val sqCells = ZIndex.coverBounds(mnx, mny, mxx, mxy)
+    val cells =
+      if (grid == graft.index.GridSystem.Square) sqCells
+      else sqCells.map(c =>
+        grid.cellOf(ZIndex.cellE(c) + 0.5, ZIndex.cellN(c) + 0.5)).distinct
     val sortKey = mnx.toInt.toLong * 1000L + mny.toInt.toLong
 
     val ts = tileSize
@@ -122,9 +133,15 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
                             * — the map-side-join formulation with no
                             * per-query HashedRelation rebuild. */
                           lookup: Option[org.apache.spark.broadcast.Broadcast[
-                            java.util.HashMap[Long, Array[Array[Byte]]]]] = None)
+                            java.util.HashMap[Long, Array[Array[Byte]]]]] = None,
+                          /** Lookup key when the polygon index is built on
+                            * a DIFFERENT grid than the square tile grid
+                            * (hex cover): `cell` stays the square tile
+                            * cell that anchors the raster geometry, this
+                            * keys the cell→blobs map. Defaults to `cell`. */
+                          joinCell: Option[Expression] = None)
     extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(cell, bytes, cirBytes, blobs)
+  override def children: Seq[Expression] = Seq(cell, bytes, cirBytes, blobs) ++ joinCell
   override def nullable: Boolean = false
 
   @transient private lazy val kernels: Array[IndexKernel] =
@@ -140,7 +157,8 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
   override def eval(input: InternalRow): Any = {
     val cellV = cell.eval(input).asInstanceOf[Long]
     val blobArr: Array[Array[Byte]] = lookup match {
-      case Some(b) => b.value.get(cellV) // null when the cell is uncovered
+      case Some(b) => // null when the (join) cell is uncovered
+        b.value.get(joinCell.fold(cellV)(_.eval(input).asInstanceOf[Long]))
       case None =>
         val blobsV = blobs.eval(input).asInstanceOf[ArrayData]
         if (blobsV == null) null
@@ -194,7 +212,8 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(cell = newChildren(0), bytes = newChildren(1), cirBytes = newChildren(2), blobs = newChildren(3))
+    copy(cell = newChildren(0), bytes = newChildren(1), cirBytes = newChildren(2),
+      blobs = newChildren(3), joinCell = newChildren.lift(4))
 }
 
 /** Web-mercator garden preparation (the WebMercatorMapLoader path,

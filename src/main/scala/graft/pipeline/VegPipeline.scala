@@ -78,7 +78,18 @@ object VegPipeline extends org.apache.spark.internal.Logging {
         * capture nearly all the benefit. */
       pruneInSetMax: Int = 8192,
       /** decoded-tile / fragment accumulators (C3 statistics). */
-      metrics: Option[PipelineMetrics] = None)
+      metrics: Option[PipelineMetrics] = None,
+      /** Grid system for the cell→polygon index and the polygon⋈tile
+        * join key. Square (default) = one cell per km tile, the
+        * reference's semantics and the zero-fill/pruning-capable path.
+        * A hex grid (H3-style axial hexes, [[graft.index.HexIndex]])
+        * indexes polygons by the hexes of their covered tiles' centers;
+        * the join matches a superset of the square-grid tile set whose
+        * extra fragments score zero pixels, so the per-garden sums are
+        * bit-identical. Hex requires handleMissingTiles=false (zero-fill
+        * enumerates expected TILES, which only the square grid can) and
+        * disables covering-range scan pruning. */
+      grid: graft.index.GridSystem = graft.index.GridSystem.Square)
 
   import Exprs.{col => ec, expr => ee}
 
@@ -93,13 +104,16 @@ object VegPipeline extends org.apache.spark.internal.Logging {
     * feature id too, analyse_polygons.py:157-165); 64-bit collision odds
     * at 10^6 features are ~3e-8. */
   def prepareGardens(gardens: DataFrame, tileSize: Int,
-                     webMercatorZoom: Option[Int] = None): DataFrame = {
+                     webMercatorZoom: Option[Int] = None,
+                     grid: graft.index.GridSystem = graft.index.GridSystem.Square): DataFrame = {
+    require(webMercatorZoom.isEmpty || grid == graft.index.GridSystem.Square,
+      "non-square grids are only wired for the OSGB tile path")
     val withGid = gardens.withColumn("gid", xxhash64(col("id")))
     val prepExpr = webMercatorZoom match {
       case Some(z) => PrepareGardenWebMerc(
         ee(col("gid")), ee(col("geometry")), ee(col("crs")), z, tileSize)
       case None => PrepareGarden(
-        ee(col("gid")), ee(col("geometry")), ee(col("crs")), tileSize)
+        ee(col("gid")), ee(col("geometry")), ee(col("crs")), tileSize, grid)
     }
     withGid
       .withColumn("prep", ec(prepExpr))
@@ -164,8 +178,9 @@ object VegPipeline extends org.apache.spark.internal.Logging {
   }
 
   def buildIndex(spark: SparkSession, gardens: DataFrame, tileSize: Int,
-                 webMercatorZoom: Option[Int] = None): PolyIndex = {
-    val prepared = prepareGardens(gardens, tileSize, webMercatorZoom)
+                 webMercatorZoom: Option[Int] = None,
+                 grid: graft.index.GridSystem = graft.index.GridSystem.Square): PolyIndex = {
+    val prepared = prepareGardens(gardens, tileSize, webMercatorZoom, grid)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cellPolys = prepared
       .select(explode(col("cells")).as("cell"), col("blob"))
@@ -178,7 +193,8 @@ object VegPipeline extends org.apache.spark.internal.Logging {
     * frac_<kernel>... */
   def run(spark: SparkSession, gardens: DataFrame, tiles: DataFrame,
           cfg: Config = Config(), cirTiles: Option[DataFrame] = None): DataFrame =
-    scoreAgainst(spark, buildIndex(spark, gardens, cfg.tileSize, cfg.webMercatorZoom),
+    scoreAgainst(spark,
+      buildIndex(spark, gardens, cfg.tileSize, cfg.webMercatorZoom, cfg.grid),
       tiles, cfg, cirTiles)
 
   def scoreAgainst(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
@@ -242,7 +258,7 @@ object VegPipeline extends org.apache.spark.internal.Logging {
     * scoring pass saw (a tile dropped by pruning must count as missing,
     * not silently vanish from both passes). */
   def pruneTiles(tiles: DataFrame, index: PolyIndex, cfg: Config): DataFrame =
-    if (!cfg.pruneTileScan) tiles
+    if (!cfg.pruneTileScan || cfg.grid != graft.index.GridSystem.Square) tiles
     else tileIdPredicate(index, cfg).fold(tiles)(tiles.where)
 
   /** The distributive core: per-garden raw long sums
@@ -268,6 +284,10 @@ object VegPipeline extends org.apache.spark.internal.Logging {
       s"all kernels in one pass must share an input format, got $fmts")
     require(fmts.head != "IRGB" || cirTiles.nonEmpty,
       "IRGB kernels need the CIR tile table for Ir fusion (S3)")
+    val hexGrid = cfg.grid != graft.index.GridSystem.Square
+    require(!hexGrid || !cfg.handleMissingTiles,
+      "missing-tile zero-fill enumerates expected TILES, which only the " +
+        "square grid keys; use handleMissingTiles=false with a hex grid")
 
     val cellPolys = index.cellPolys
     // automatic path selection: the broadcast-lookup formulation only when
@@ -306,6 +326,16 @@ object VegPipeline extends org.apache.spark.internal.Logging {
       case None => rgbWithCell.withColumn("cir_bytes", lit(null).cast("binary"))
     }
 
+    // hex cover: the join key is the hex of the tile's CENTER; `cell`
+    // stays the square tile cell that anchors the raster geometry
+    val tilesKeyed =
+      if (!hexGrid) tilesWithCell
+      else tilesWithCell.withColumn("jcell", ec(PointCell(
+        ee(shiftright(col("cell"), 31).cast("double") + lit(0.5)),
+        ee(col("cell").bitwiseAND(lit(0x7fffffffL)).cast("double") + lit(0.5)),
+        cfg.grid)))
+    val joinKey = if (hexGrid) "jcell" else "cell"
+
     val scored =
       if (useBroadcast) {
         // map-side-join formulation: the cell→blobs lookup is an
@@ -317,16 +347,19 @@ object VegPipeline extends org.apache.spark.internal.Logging {
           ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")),
           ee(lit(null).cast("array<binary>")),
           cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
-          metrics = cfg.metrics, lookup = Some(index.broadcastLookup)))
-        tilesWithCell
+          metrics = cfg.metrics, lookup = Some(index.broadcastLookup),
+          joinCell = if (hexGrid) Some(ee(col("jcell"))) else None))
+        tilesKeyed
           .select(explode(scoreCol).as("s"))
           .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
       } else {
+        val polysKeyed =
+          if (hexGrid) cellPolys.withColumnRenamed("cell", "jcell") else cellPolys
         val polysSide =
           if (useSalt)
-            cellPolys.withColumn("salt",
+            polysKeyed.withColumn("salt",
               explode(array((0 until cfg.saltFactor).map(lit(_)): _*)))
-          else cellPolys
+          else polysKeyed
         val scoreCol = ec(ScoreFragments(
           ee(col("cell")), ee(col("bytes")), ee(col("cir_bytes")), ee(col("blobs")),
           cfg.tileSize, cfg.kernelNames, yDown = cfg.webMercatorZoom.nonEmpty,
@@ -335,9 +368,9 @@ object VegPipeline extends org.apache.spark.internal.Logging {
           if (useSalt)
             // salt from the (short) image_id, not the ~100 KB image bytes —
             // any well-spread per-tile value works, hashing bytes is waste
-            tilesWithCell.withColumn("salt", pmod(hash(col("image_id")), lit(cfg.saltFactor)))
-              .join(polysSide, Seq("cell", "salt"))
-          else tilesWithCell.join(polysSide, Seq("cell"))
+            tilesKeyed.withColumn("salt", pmod(hash(col("image_id")), lit(cfg.saltFactor)))
+              .join(polysSide, Seq(joinKey, "salt"))
+          else tilesKeyed.join(polysSide, Seq(joinKey))
         joinedTiles
           .select(explode(scoreCol).as("s"))
           .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))

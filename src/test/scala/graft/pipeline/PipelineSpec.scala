@@ -111,6 +111,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hex-grid cover (H3-style) matches the square grid and the mosaic oracle") {
+    // same pipeline, cell→polygon index keyed by hexes of covered tile
+    // centers: every square-grid tile match is preserved (superset cover,
+    // extra fragments score zero pixels), so sums are bit-identical.
+    // handleMissingTiles=false on BOTH configs (zero-fill is square-only).
+    val names = Seq("greenleaf", "vari")
+    val nG = 40L
+    val gardenRows = (0L until nG).map(Synthetic.makeGarden(_, gridW, gridH, 42L))
+    val gardens = Synthetic.gardens(spark, nG, gridW, gridH)
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    def cfg(grid: graft.index.GridSystem) = VegPipeline.Config(
+      tileSize = ts, kernelNames = names, handleMissingTiles = false, grid = grid)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[String]("id") ->
+        ((r.getAs[Long]("npix"), names.map(n => r.getAs[Double](s"frac_$n"))))
+    }.toMap
+    val sq = keyed(VegPipeline.run(spark, gardens, tiles,
+      cfg(graft.index.GridSystem.Square)).collect())
+    val hx = keyed(VegPipeline.run(spark, gardens, tiles,
+      cfg(graft.index.GridSystem.Hex(1.7))).collect())
+    assert(hx.size == nG && sq == hx, "hex cover diverged from square cover")
+
+    // gardens fully inside the tile grid also match the mosaic oracle
+    // exactly (for straddlers the two differ only via zero-fill, off here)
+    val oracle = oracleResults(gardenRows, names)
+    val interior = gardenRows.filter { g =>
+      val pts = g.geometry.flatten.flatten
+      val xs = pts.map(_(0) / 1000.0); val ys = pts.map(_(1) / 1000.0)
+      xs.min >= Synthetic.BaseE && xs.max < Synthetic.BaseE + gridW &&
+        ys.min >= Synthetic.BaseN && ys.max < Synthetic.BaseN + gridH
+    }
+    assert(interior.size >= 10, "fixture should keep most gardens interior")
+    interior.foreach { g =>
+      val o = oracle(g.id)
+      val (npix, fracs) = hx(g.id)
+      assert(npix == o.npix, s"npix for ${g.id}")
+      names.indices.foreach(i => assert(fracs(i) == o.fracs(i), s"${names(i)} for ${g.id}"))
+    }
+    // and a hex run over the shuffle-join path agrees too
+    val hxShuffle = keyed(VegPipeline.run(spark, gardens, tiles,
+      cfg(graft.index.GridSystem.Hex(1.7)).copy(broadcastPolys = false)).collect())
+    assert(hxShuffle == hx, "hex shuffle-join path diverged from broadcast path")
+  }
+
   test("covering-range pruning reaches the parquet scan and preserves results") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/tiles"
     Synthetic.tiles(spark, gridW, gridH, ts).write.parquet(dir)

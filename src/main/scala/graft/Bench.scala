@@ -154,10 +154,15 @@ object Bench {
 
   private def runScore(spark: SparkSession, idx: VegPipeline.PolyIndex,
                        tilesPath: String, cfg: VegPipeline.Config,
-                       cirPath: Option[String]): (Long, Long) = {
-    import org.apache.spark.sql.functions._
-    val res = VegPipeline.scoreAgainst(spark, idx, spark.read.parquet(tilesPath), cfg,
+                       cirPath: Option[String]): (Long, Long) =
+    runScoreDf(spark, idx, spark.read.parquet(tilesPath), cfg,
       cirPath.map(spark.read.parquet))
+
+  private def runScoreDf(spark: SparkSession, idx: VegPipeline.PolyIndex,
+                         tiles: DataFrame, cfg: VegPipeline.Config,
+                         cir: Option[DataFrame]): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val res = VegPipeline.scoreAgainst(spark, idx, tiles, cfg, cir)
     // consume npix + fractions so Catalyst cannot prune the scoring join
     val fracs = cfg.kernelNames.map(n => sum(col(s"frac_$n")))
     val row = res.agg(count(lit(1)), (sum("npix") +: fracs): _*).collect()(0)
@@ -194,24 +199,50 @@ object Bench {
     val idx0 = buildIndex(tileS, gardensPath, ts)
     runFlagship(tileS, idx0, tilesPath, ts) // warm (JIT + scan caches)
     // IRGB fused-join datapoint (S3/J2: RGB ⋈ CIR + Ir-fusion kernels) on
-    // the quarter-height tables, same interleaved protocol
+    // the quarter-height tables, same interleaved protocol. Two variants:
+    // plain parquet (the RGB⋈CIR join shuffles both byte columns) and
+    // cell-BUCKETED tables (the 100 TB-catalog layout: co-located scans,
+    // zero Exchange on the fused join — TileBuckets is the write path).
     val irgbCfg = VegPipeline.Config(tileSize = ts,
       kernelNames = Seq("ndvi-irgb", "matt"), handleMissingTiles = false)
     def runIrgb(): (Long, Long) =
       runScore(tileS, idx0, bd.tilesQuarterPath, irgbCfg, Some(bd.cirQuarterPath))
     runIrgb() // warm
+    def ensureBucketed(name: String, srcPath: String): Unit = {
+      val loc = new java.io.File(s"spark-warehouse/$name").getAbsolutePath
+      if (!Files.exists(Paths.get(loc)))
+        graft.sources.TileBuckets.write(tileS, tileS.read.parquet(srcPath), name, 32)
+      else if (!tileS.catalog.tableExists(name))
+        // fresh JVM over cached files: re-register the bucketed layout
+        tileS.sql(s"CREATE TABLE $name (image_id STRING, bytes BINARY, w INT, h INT, " +
+          s"fmt STRING, caption STRING, phash BIGINT, cell BIGINT) USING PARQUET " +
+          s"CLUSTERED BY (cell) SORTED BY (cell) INTO 32 BUCKETS LOCATION '$loc'")
+    }
+    val rgbQTable = s"bench_rgb_q_${gridW}x${bd.gridHq}"
+    val cirQTable = s"bench_cir_q_${gridW}x${bd.gridHq}"
+    ensureBucketed(rgbQTable, bd.tilesQuarterPath)
+    ensureBucketed(cirQTable, bd.cirQuarterPath)
+    def runIrgbBucketed(): (Long, Long) =
+      runScoreDf(tileS, idx0, tileS.table(rgbQTable), irgbCfg,
+        Some(tileS.table(cirQTable)))
+    val fpIrgb = runIrgb()
+    require(runIrgbBucketed() == fpIrgb,
+      "bucketed IRGB fingerprint diverged from the plain-parquet join")
 
     val headlineReps =
       (1 to headlineRounds).map { _ =>
         headline.map(name => time(SparkEntry.queries(name)(spark, sfDir).count())._1) ++
-          Seq(time(runFlagship(tileS, idx0, tilesPath, ts))._1, time(runIrgb())._1)
+          Seq(time(runFlagship(tileS, idx0, tilesPath, ts))._1, time(runIrgb())._1,
+            time(runIrgbBucketed())._1)
       }
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    (headline ++ Seq("q30_veg_flagship", "q34_irgb_fused")).zipWithIndex.foreach { case (name, i) =>
-      queryTimes(name) = headlineReps.map(_(i)).min
-    }
+    (headline ++ Seq("q30_veg_flagship", "q34_irgb_fused", "q34_irgb_bucketed"))
+      .zipWithIndex.foreach { case (name, i) =>
+        queryTimes(name) = headlineReps.map(_(i)).min
+      }
     val tFlag = queryTimes("q30_veg_flagship")
     val tIrgb = queryTimes("q34_irgb_fused")
+    val tIrgbB = queryTimes("q34_irgb_bucketed")
     val (nRows, nPix) = runFlagship(tileS, idx0, tilesPath, ts)
 
     // GeoJSONL ingest datapoint (S1 scale path): normalize the line-based
@@ -391,7 +422,11 @@ object Bench {
         f""""attempt_eff_marginal_8_32":[${attempts.map(x => f"${x.effM832}%.3f").mkString(",")}]}"""
     val irgbRate = bd.nTilesQuarter / tIrgb
     val extras =
-      f""""irgb":{"tiles":${bd.nTilesQuarter},"t_sec":$tIrgb%.3f,"tiles_per_sec":$irgbRate%.1f,"rgb_per_tile_ratio":${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f},""" +
+      f""""irgb":{"tiles":${bd.nTilesQuarter},"t_sec":$tIrgb%.3f,"tiles_per_sec":$irgbRate%.1f,"rgb_per_tile_ratio":${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f,""" +
+        f""""t_bucketed_sec":$tIrgbB%.3f,"bucketed_tiles_per_sec":${bd.nTilesQuarter / tIrgbB}%.1f,"bucketed_rgb_per_tile_ratio":${(tIrgbB / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f,""" +
+        // fixed-cost-corrected: subtract the two-size fit's per-job constant
+        // and compare against its RGB marginal per-tile cost w32
+        f""""bucketed_ratio_marginal":${((tIrgbB - a.c32) / bd.nTilesQuarter) / a.w32}%.2f},""" +
         f""""geojsonl":{"ingest_sec":$tIngest%.3f,"flagship_sec":$tFlagGeo%.3f,"fingerprint_match":true}"""
     val jsonLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tiles_per_sec":$tput32%.1f,$extras,"scaling":$scaling}"""
@@ -434,8 +469,8 @@ object Bench {
       f"| $efficiency832%.3f | $kernelEff832%.3f | ${a.effM28}%.3f | ${a.effM832}%.3f | $tput32%.1f |\n")
     md.append(f"  - two-size fit: quarter=$nTilesQ tiles, t8q=${a.t8q}%.2f s, t32q=${a.t32q}%.2f s, " +
       f"w8=${a.w8 * 1e6}%.1f µs/tile, w32=${a.w32 * 1e6}%.1f µs/tile, c8=${a.c8}%.2f s, c32=${a.c32}%.2f s; " +
-      f"IRGB fused ${bd.nTilesQuarter} tiles in $tIrgb%.2f s (${irgbRate}%.0f tiles/s, " +
-      f"${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f× RGB per-tile cost); " +
+      f"IRGB fused ${bd.nTilesQuarter} tiles in $tIrgb%.2f s plain / $tIrgbB%.2f s bucketed " +
+      f"(${(tIrgb / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f× / ${(tIrgbB / bd.nTilesQuarter) / (tFlag / nTiles)}%.2f× RGB per-tile cost); " +
       f"GeoJSONL ingest $tIngest%.2f s + flagship $tFlagGeo%.2f s, fingerprint match\n")
     Files.writeString(f, md.toString,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -211,15 +211,41 @@ object Synthetic {
     }.toDF()
   }
 
+  /** Flat-block CIR variant (no per-pixel jitter) — like [[tileRasterSmooth]]
+    * for the RGB side: real CIR imagery compresses like RGB, while the
+    * jittered pattern is a DCT worst case that balloons jpg bytes ~12x and
+    * turns the fused-join bench into a decode-the-noise benchmark. Same
+    * block vegetation ground truth and (Ir, R, G) channel layout. */
+  def tileRasterCirSmooth(e: Int, n: Int, ts: Int, seed: Long): Raster = {
+    val half = math.max(ts / 2, 8)
+    val data = new Array[Byte](half * half * 3)
+    val groundSeed = mix2(seed, (e.toLong << 32) | n.toLong)
+    var row = 0
+    while (row < half) {
+      var colI = 0
+      while (colI < half) {
+        val bx = (colI * ts / half) / 8; val by = (row * ts / half) / 8
+        val veg = java.lang.Long.remainderUnsigned(mix2(groundSeed, (bx.toLong << 20) | by.toLong), 3L) == 0L
+        val off = (row * half + colI) * 3
+        data(off) = (if (veg) 160 else 115).toByte     // B slot <- G
+        data(off + 1) = (if (veg) 60 else 115).toByte  // G slot <- R
+        data(off + 2) = (if (veg) 200 else 60).toByte  // R slot <- Ir
+        colI += 1
+      }
+      row += 1
+    }
+    Raster(data, half, half, 3)
+  }
+
   /** Jpg-encoded CIR tile table (bench variant of [[tilesCir]], same
-    * half-resolution Ir raster; jpg keeps the table small enough that the
-    * fused-join bench measures decode+join+classify, not page cache). */
+    * half-resolution Ir plane; smooth content + jpg keep the table small
+    * so the fused-join bench measures decode+join+classify, not noise). */
   def tilesCirJpg(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     spark.range(gridW.toLong * gridH).map { i =>
       val e = BaseE + (i % gridW).toInt
       val n = BaseN + (i / gridW).toInt
-      val raster = tileRasterCir(e, n, ts, seed)
+      val raster = tileRasterCirSmooth(e, n, ts, seed)
       val code = TileCode.fromEastingsNorthings(e, n)
       TileRow(code, graft.img.Quality.encodeJPEG(raster, 0.92f), raster.w, raster.h, "jpg",
         s"synthetic CIR jpg tile $code size=${raster.w}px", aHash(raster))

@@ -46,7 +46,16 @@ object Codec {
   /** Fuse an RGB tile and a CIR tile into BGR+Ir, replicating the
     * reference's channel selection + bicubic Ir upscale
     * (image_loaders.py:362-386: Ir = CIR channel 2 as loaded BGR). */
-  def fuseBGRI(rgb: Raster, cir: Raster): Raster = {
+  def fuseBGRI(rgb: Raster, cir: Raster): Raster =
+    fuseBGRIWindow(rgb, cir, 0, 0, rgb.w - 1, rgb.h - 1)
+
+  /** [[fuseBGRI]] with the Ir bicubic upscale restricted to the raster
+    * window [wx0..wx1]×[wy0..wy1] (inclusive; window pixels bit-identical
+    * to the full upscale, outside-window Ir is 0). The scoring path
+    * passes the union of fragment windows, so the per-tile upscale cost
+    * scales with the polygon-covered area, not the tile area. */
+  def fuseBGRIWindow(rgb: Raster, cir: Raster,
+                     wx0: Int, wy0: Int, wx1: Int, wy1: Int): Raster = {
     require(rgb.channels == 3 && cir.channels == 3)
     // extract Ir plane (channel index 2 of the CIR raster)
     val irPlane = new Array[Byte](cir.w * cir.h)
@@ -54,7 +63,9 @@ object Codec {
     while (i < cir.w * cir.h) { irPlane(i) = cir.data(i * 3 + 2); i += 1 }
     val irUp =
       if (cir.w == rgb.w && cir.h == rgb.h) irPlane
-      else Resize.bicubicPlane(irPlane, cir.w, cir.h, rgb.w, rgb.h)
+      else Resize.bicubicPlaneWindow(irPlane, cir.w, cir.h, rgb.w, rgb.h,
+        math.max(wx0, 0), math.max(wy0, 0),
+        math.min(wx1, rgb.w - 1), math.min(wy1, rgb.h - 1))
     val out = new Array[Byte](rgb.w * rgb.h * 4)
     i = 0
     while (i < rgb.w * rgb.h) {

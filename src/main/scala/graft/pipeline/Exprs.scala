@@ -169,6 +169,12 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
     val cirV = cirBytes.eval(input).asInstanceOf[Array[Byte]]
 
     val ts = tileSize
+    val e = ZIndex.cellE(cellV)
+    val n = ZIndex.cellN(cellV)
+    val pps = new Array[PolyBlob.Prepared](blobArr.length)
+    var i = 0
+    while (i < blobArr.length) { pps(i) = PolyBlob.deserialize(blobArr(i)); i += 1 }
+
     var raster: Raster = null
     if (bytesV != null && bytesV.nonEmpty) {
       metrics.foreach(_.tilesDecoded.add(1))
@@ -179,8 +185,8 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
         // (rows, cols, channels), and the stray ')' is its own typo)
         metrics.foreach { m =>
           val name =
-            if (yDown) s"${ZIndex.cellE(cellV)}/${ZIndex.cellN(cellV)}"
-            else TileCode.fromEastingsNorthings(ZIndex.cellE(cellV), ZIndex.cellN(cellV))
+            if (yDown) s"$e/$n"
+            else TileCode.fromEastingsNorthings(e, n)
           m.warn(s"""Image "$name" is sized (${raster.h}, ${raster.w}, 3)""" +
             s" rather than ($ts, $ts, 3))")
         }
@@ -190,7 +196,31 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
         val cir =
           if (cirV != null && cirV.nonEmpty) Codec.decodeBGR(cirV)
           else Raster(new Array[Byte](ts * ts * 3), ts, ts, 3) // zero Ir plane
-        raster = Codec.fuseBGRI(raster, cir)
+        // upscale Ir only inside the union of fragment raster windows —
+        // window pixels are bit-identical to a full-plane upscale and
+        // only they are ever read by scoreFragment
+        val tileX0 = e * ts; val tileY0 = n * ts
+        var ux0 = Int.MaxValue; var ux1 = Int.MinValue
+        var uy0 = Int.MaxValue; var uy1 = Int.MinValue
+        var k = 0
+        while (k < pps.length) {
+          val pp = pps(k)
+          val wx0 = math.max(pp.cropX0, tileX0)
+          val wx1 = math.min(pp.cropX1, tileX0 + ts - 1)
+          val wy0 = math.max(pp.cropY0, tileY0)
+          val wy1 = math.min(pp.cropY1, tileY0 + ts - 1)
+          if (wx0 <= wx1 && wy0 <= wy1) {
+            val cs = wx0 - tileX0; val ce = wx1 - tileX0
+            val rs = if (yDown) wy0 - tileY0 else ts - 1 - (wy1 - tileY0)
+            val re = if (yDown) wy1 - tileY0 else ts - 1 - (wy0 - tileY0)
+            if (cs < ux0) ux0 = cs
+            if (ce > ux1) ux1 = ce
+            if (rs < uy0) uy0 = rs
+            if (re > uy1) uy1 = re
+          }
+          k += 1
+        }
+        raster = Codec.fuseBGRIWindow(raster, cir, ux0, uy0, ux1, uy1)
       }
     }
 
@@ -198,12 +228,10 @@ case class ScoreFragments(cell: Expression, bytes: Expression,
       if (raster == null) m.missingTileFragments.add(blobArr.length)
       m.fragmentsScored.add(blobArr.length)
     }
-    val e = ZIndex.cellE(cellV)
-    val n = ZIndex.cellN(cellV)
-    val out = new Array[Any](blobArr.length)
-    var i = 0
-    while (i < blobArr.length) {
-      val pp = PolyBlob.deserialize(blobArr(i))
+    val out = new Array[Any](pps.length)
+    i = 0
+    while (i < pps.length) {
+      val pp = pps(i)
       val (npix, veg) = PolyBlob.scoreFragment(pp, e, n, ts, raster, kernels, yDown)
       out(i) = InternalRow(pp.gid, npix, new GenericArrayData(veg))
       i += 1

@@ -49,6 +49,11 @@ object TileBuckets {
     }
     tiles.withColumn("cell", cellCol)
       .where(col("cell").isNotNull)
+      // pre-shuffle into the bucket partitioning (same murmur hash), so
+      // each writer holds exactly one bucket -> nBuckets files instead of
+      // sourcePartitions x nBuckets small files (a 192-partition source
+      // produced 6k files whose open cost dominated the bucketed scan)
+      .repartition(nBuckets, col("cell"))
       .write.format("parquet")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .mode("overwrite")

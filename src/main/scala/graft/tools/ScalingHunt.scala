@@ -60,6 +60,59 @@ object ScalingHunt {
     }
     work(4000, 32) // warm
     val (k28pre, k832pre) = kernels()
+
+    // SPARK_GRAFT_MARGINAL: hunt the fixed-cost-free 8->32 MARGINAL
+    // efficiency (two job sizes per level, slope w = (t_full - t_q)/dn;
+    // see Bench's twosize block) in a short window — no 2-core runs, so
+    // one attempt fits a ~1-minute quiet epoch. Gated on the 8->32
+    // ceiling alone.
+    if (sys.env.contains("SPARK_GRAFT_MARGINAL")) {
+      if (k832pre < minCeiling) {
+        println(f"""{"mode":"marginal","kernel_eff_8_32":$k832pre%.3f,"skipped":true}""")
+        return
+      }
+      val quarterPath = sys.env.getOrElse("SPARK_GRAFT_TILES_Q", "data/gen/tilesjpg_g400x300_ts256")
+      val nTilesQ = sys.env.getOrElse("SPARK_GRAFT_NTILES_Q", "120000").toLong
+      def sizesAt(cpus: Int): (Double, Double, (Long, Long), (Long, Long)) = {
+        val s = session(cpus)
+        import org.apache.spark.sql.functions._
+        val idx = VegPipeline.buildIndex(s, s.read.parquet(gardensPath), ts)
+        idx.cellPolys.count()
+        val cfg = VegPipeline.Config(tileSize = ts,
+          kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
+        def run(path: String): (Long, Long) = {
+          val res = VegPipeline.scoreAgainst(s, idx, s.read.parquet(path), cfg)
+          val row = res.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
+          (row.getAs[Long](0), row.getAs[Long](1))
+        }
+        val fpF = run(tilesPath); val fpQ = run(quarterPath) // warm both
+        val tF = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(tilesPath); (System.nanoTime() - t0) / 1e9
+        }.min
+        val tQ = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(quarterPath); (System.nanoTime() - t0) / 1e9
+        }.min
+        s.stop()
+        (tF, tQ, fpF, fpQ)
+      }
+      val (t8, t8q, fpF8, fpQ8) = sizesAt(8)
+      val (t32, t32q, fpF32, fpQ32) = sizesAt(32)
+      require(fpF8 == fpF32 && fpQ8 == fpQ32, "output mismatch across parallelism levels")
+      val dn = (nTiles - nTilesQ).toDouble
+      val w8 = (t8 - t8q) / dn
+      val w32 = (t32 - t32q) / dn
+      val effM = w8 / (4.0 * w32)
+      val (_, k832post) = kernels()
+      val ceil = math.max(k832pre, k832post)
+      println(f"""{"mode":"marginal","kernel_eff_8_32":$k832pre%.3f,"kernel_eff_8_32_after":$k832post%.3f,""" +
+        f""""t8_sec":$t8%.3f,"t8q_sec":$t8q%.3f,"t32_sec":$t32%.3f,"t32q_sec":$t32q%.3f,""" +
+        f""""w8_us":${w8 * 1e6}%.2f,"w32_us":${w32 * 1e6}%.2f,""" +
+        f""""c8_sec":${t8q - nTilesQ * w8}%.3f,"c32_sec":${t32q - nTilesQ * w32}%.3f,""" +
+        f""""eff_marginal_8_32":$effM%.3f,"ratio_to_ceiling":${effM / ceil}%.3f,""" +
+        f""""tiles_per_sec_32_marginal":${1.0 / w32}%.1f,"skipped":false}""")
+      return
+    }
+
     // two-mode: measure all three levels when the host is delivering 32
     // cores; fall back to the PRIMARY 2->8 pair alone when only the low
     // levels are quiet (most epochs on this VM); skip otherwise

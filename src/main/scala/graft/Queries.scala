@@ -625,6 +625,36 @@ object Queries {
       Synthetic.tiles(s, gw, gh, 64), VegPipeline.Config(tileSize = 64))
   }
 
+  /** The square-grid flagship frame WITHOUT missing-tile zero-fill — the
+    * comparison target for the hex-cover query (q39; hex cannot zero-fill,
+    * a square-grid notion). */
+  private[graft] def flagshipFrameNoFill(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
+      Synthetic.tiles(s, gw, gh, 64),
+      VegPipeline.Config(tileSize = 64, handleMissingTiles = false))
+  }
+
+  /** The flagship polygon⋈tile join over the HEX (H3-style) cover
+    * ([[VegPipeline.Config.grid]]): per-garden sums must be bit-identical
+    * to the square-grid run (superset cover, zero-pixel extra fragments) —
+    * o39 checks that row-for-row against the square engine path's
+    * [[Sidecars.vegNoFillPath]] sidecar. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh),
+      Synthetic.tiles(s, gw, gh, 64),
+      VegPipeline.Config(tileSize = 64, handleMissingTiles = false,
+        grid = graft.index.GridSystem.Hex(1.7)))
+      .select("id", "npix", "frac_greenleaf")
+      .orderBy("id")
+  }
+
+  private lazy val o39 =
+    s"""SELECT id, npix, frac_greenleaf
+       |FROM read_parquet('${Sidecars.vegNoFillPath}/*.parquet')
+       |ORDER BY id""".stripMargin
+
   /** Global summary over the flagship output (A2); decimal-exact sums in
     * [[VegPipeline.summarize]] make it bit-reproducible in SQL. */
   private def q32(s: SparkSession, dir: String): DataFrame =
@@ -805,7 +835,8 @@ object Queries {
     "q35_veg_nn" -> (q35 _),
     "q36_media_frames" -> (q36 _),
     "q37_audio_features" -> (q37 _),
-    "q38_seeded_sample" -> (q38 _)
+    "q38_seeded_sample" -> (q38 _),
+    "q39_veg_hex" -> (q39 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -839,6 +870,7 @@ object Queries {
     "q31_phash_dedup" -> o31,
     "q32_veg_summary" -> o32,
     "q33_toid2uprn" -> o33,
-    "q38_seeded_sample" -> o38
+    "q38_seeded_sample" -> o38,
+    "q39_veg_hex" -> o39
   )
 }

@@ -19,6 +19,7 @@ object Sidecars {
   private val root = new java.io.File("data/oracle").getAbsolutePath
   val phashPath = s"$root/tiles_phash.parquet"
   val vegPath = s"$root/veg_pergarden.parquet"
+  val vegNoFillPath = s"$root/veg_pergarden_nofill.parquet"
   val annLshPath = s"$root/ann_lsh_candidates.parquet"
   val annIvfPath = s"$root/ann_ivf_candidates.parquet"
 
@@ -30,6 +31,13 @@ object Sidecars {
     Queries.flagshipFrame(s, dir)
       .select("id", "uprn", "cx", "cy", "area_m2", "npix", "frac_greenleaf")
       .coalesce(1).write.mode("overwrite").parquet(vegPath)
+    // q39: the SQUARE-grid flagship frame with handleMissingTiles=false —
+    // the hex-cover query must reproduce it row-for-row (hex has no
+    // zero-fill, so the comparable square run disables it too; the
+    // square path itself is mosaic-oracle-validated in PipelineSpec)
+    Queries.flagshipFrameNoFill(s, dir)
+      .select("id", "npix", "frac_greenleaf")
+      .coalesce(1).write.mode("overwrite").parquet(vegNoFillPath)
     // q27/q28: each query's ANN candidate set, so the oracle re-runs the
     // exact fp64 cosine rerank over the SAME candidates (recall itself is
     // a unit-test property; the oracle pins the rerank algebra)

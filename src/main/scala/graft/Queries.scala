@@ -591,15 +591,71 @@ object Queries {
     else if (dir.contains("sf0.01")) (8, 8, 250L)
     else (4, 4, 40L)
 
-  /** Flagship: polygon⋈tile vegetation fractions (mosaic-oracle-tested). */
-  private def q30(s: SparkSession, dir: String): DataFrame = {
+  /** One flagship pipeline instance: inputs + config shared between the
+    * query, the fragment sidecar ([[Sidecars.writeAll]]) and its oracle,
+    * so they cannot drift apart. */
+  private[graft] final case class VegCase(
+      gardens: DataFrame, tiles: DataFrame,
+      cfg: VegPipeline.Config, cir: Option[DataFrame])
+
+  private[graft] def veg30(s: SparkSession, dir: String): VegCase = {
     val (gw, gh, ng) = syntheticScale(dir)
-    val ts = 64
-    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, ts),
-        VegPipeline.Config(tileSize = ts, kernelNames = Seq("greenleaf", "hsv", "vari")))
+    VegCase(Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, 64),
+      VegPipeline.Config(tileSize = 64, kernelNames = Seq("greenleaf", "hsv", "vari")), None)
+  }
+
+  private[graft] def veg34(s: SparkSession, dir: String): VegCase = {
+    val (gw, gh, ng) = syntheticScale(dir)
+    VegCase(Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, 64),
+      VegPipeline.Config(tileSize = 64, kernelNames = Seq("ndvi-irgb", "matt")),
+      Some(Synthetic.tilesCir(s, gw, gh, 64)))
+  }
+
+  private[graft] def veg35(s: SparkSession, dir: String): VegCase =
+    VegCase(Synthetic.gardens(s, 20, 3, 3), Synthetic.tiles(s, 3, 3, 64),
+      VegPipeline.Config(tileSize = 64, kernelNames = Seq("nn")),
+      Some(Synthetic.tilesCir(s, 3, 3, 64)))
+
+  private[graft] def vegRun(s: SparkSession, vc: VegCase): DataFrame =
+    VegPipeline.run(s, vc.gardens, vc.tiles, vc.cfg, vc.cir)
+
+  /** The pre-aggregation fragment frame + garden metadata for a VegCase —
+    * the sidecar pair whose DuckDB oracle re-derives the pipeline's
+    * distributed groupBy-sum, metadata join and fraction division
+    * (the image-side fragment scoring itself is pinned by the
+    * mosaic-oracle/golden unit tests; no SQL engine can decode tiles). */
+  private[graft] def vegFragParts(s: SparkSession, vc: VegCase): (DataFrame, DataFrame) = {
+    val idx = VegPipeline.buildIndex(s, vc.gardens, vc.cfg.tileSize,
+      vc.cfg.webMercatorZoom, vc.cfg.grid)
+    (VegPipeline.fragments(s, idx, vc.tiles, vc.cfg, vc.cir),
+      idx.prepared.select("gid", "id"))
+  }
+
+  /** The per-garden aggregation algebra (sum npix / sum veg_i, left join
+    * metadata, fraction = veg/npix with the zero guard) re-derived in
+    * DuckDB over the engine's own fragment sidecar. */
+  private def vegAggOracle(fragsPath: String, metaPath: String, kernels: Seq[String]): String = {
+    val vsums = kernels.indices.map(i => s"CAST(sum(veg[${i + 1}]) AS BIGINT) AS v$i").mkString(", ")
+    val fracs = kernels.zipWithIndex.map { case (k, i) =>
+      s"""CASE WHEN s.npix IS NULL OR s.npix = 0 THEN 0.0 ELSE CAST(s.v$i AS DOUBLE) / CAST(s.npix AS DOUBLE) END AS "frac_$k""""
+    }.mkString(", ")
+    s"WITH sums AS (SELECT gid, CAST(sum(npix) AS BIGINT) AS npix, $vsums " +
+      s"FROM read_parquet('$fragsPath/*.parquet') GROUP BY 1) " +
+      s"SELECT m.id, COALESCE(s.npix, 0) AS npix, $fracs " +
+      s"FROM read_parquet('$metaPath/*.parquet') m LEFT JOIN sums s USING (gid) ORDER BY m.id"
+  }
+
+  /** Flagship: polygon⋈tile vegetation fractions (mosaic-oracle-tested;
+    * per-garden aggregation additionally oracle'd over the fragment
+    * sidecar, [[vegAggOracle]]). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    vegRun(s, veg30(s, dir))
       .select("id", "npix", "frac_greenleaf", "frac_hsv", "frac_vari")
       .orderBy("id")
-  }
+
+  private lazy val o30 =
+    vegAggOracle(Sidecars.veg30FragsPath, Sidecars.veg30MetaPath,
+      Seq("greenleaf", "hsv", "vari"))
 
   /** Tile-table exact dedup by perceptual hash (image dedup operator);
     * oracle'd over the [[Sidecars.phashPath]] sidecar. */
@@ -668,26 +724,26 @@ object Queries {
        |FROM read_parquet('${Sidecars.vegPath}/*.parquet')""".stripMargin
 
   /** IRGB fused pipeline: RGB ⋈ CIR tile join + Ir fusion + the NDVI/matt
-    * infrared kernels (S3/J2/K5/K10). */
-  private def q34(s: SparkSession, dir: String): DataFrame = {
-    val (gw, gh, ng) = syntheticScale(dir)
-    val ts = 64
-    VegPipeline.run(s, Synthetic.gardens(s, ng, gw, gh), Synthetic.tiles(s, gw, gh, ts),
-        VegPipeline.Config(tileSize = ts, kernelNames = Seq("ndvi-irgb", "matt")),
-        cirTiles = Some(Synthetic.tilesCir(s, gw, gh, ts)))
+    * infrared kernels (S3/J2/K5/K10); aggregation oracle'd over the
+    * fragment sidecar. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    vegRun(s, veg34(s, dir))
       .select("id", "npix", "frac_ndvi-irgb", "frac_matt")
       .orderBy("id")
-  }
 
-  /** The NN classifier kernel (K12) over the fused tile table. */
-  private def q35(s: SparkSession, dir: String): DataFrame = {
-    val ts = 64
-    VegPipeline.run(s, Synthetic.gardens(s, 20, 3, 3), Synthetic.tiles(s, 3, 3, ts),
-        VegPipeline.Config(tileSize = ts, kernelNames = Seq("nn")),
-        cirTiles = Some(Synthetic.tilesCir(s, 3, 3, ts)))
+  private lazy val o34 =
+    vegAggOracle(Sidecars.veg34FragsPath, Sidecars.veg34MetaPath,
+      Seq("ndvi-irgb", "matt"))
+
+  /** The NN classifier kernel (K12) over the fused tile table;
+    * aggregation oracle'd over the fragment sidecar. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    vegRun(s, veg35(s, dir))
       .select("id", "npix", "frac_nn")
       .orderBy("id")
-  }
+
+  private lazy val o35 =
+    vegAggOracle(Sidecars.veg35FragsPath, Sidecars.veg35MetaPath, Seq("nn"))
 
   /** P3: the reference's seeded random-N sample with exact CPython
     * random.seed(42)/random.sample parity (MT19937 port; golden-pinned in
@@ -719,6 +775,55 @@ object Queries {
        |SELECT CAST(sel.r AS INT) AS sample_rank, numbered.o_orderkey, numbered.o_totalprice
        |FROM numbered JOIN sel USING (idx) ORDER BY 1""".stripMargin
   }
+
+  /** Embedding-cosine near-duplicate pairs — the embedding modality of
+    * the dedup suite (beside exact-hash q11, fingerprint q23, simhash
+    * q24, minhash q25 and phash q26). The input unions a
+    * deterministically perturbed copy of every 50th vector (+0.125 — a
+    * power of two, so the fp64 arithmetic is bit-identical in any
+    * engine) so true near-dup pairs exist at every scale factor, exactly
+    * as q26 injects phash near-dups. Deliberate exact baseline
+    * (broadcast small side, like q16/q17): the LSH/IVF bucketed paths
+    * (q27/q28) are the 100 TB candidate generators; this operator is
+    * their exact-refine semantics as a standalone, fully-SQL-oracle'd
+    * query. cos_pct (floor of 100·cos) keeps the output robust to
+    * sub-ulp engine differences; the 0.98 threshold sits 0.012 above the
+    * injected pairs' 0.992 and 0.38 above the densest true pair. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dups = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
+    val all = emb.unionAll(dups)
+    val a = all.select(col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = all.select(col("vec_id").as("b_id"), col("e").as("be"))
+    val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def nrm(c: Column): Column =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    a.crossJoin(broadcast(b)).where(col("a_id") < col("b_id"))
+      .withColumn("cos", dot / (nrm(col("ae")) * nrm(col("be"))))
+      .where(col("cos") >= 0.98)
+      .select(col("a_id"), col("b_id"),
+        floor(col("cos") * 100).cast("int").as("cos_pct"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val o29 =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |all_v AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_prepend(e[1] + 0.125, e[2:]) FROM base WHERE vec_id % 50 = 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         list_dot_product(a.e, b.e)
+      |           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+      |  FROM all_v a, all_v b WHERE a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, CAST(floor(cos * 100) AS INT) AS cos_pct
+      |FROM pairs WHERE cos >= 0.98 ORDER BY 1, 2""".stripMargin
 
   /** Multi-table LSH approximate nearest neighbours (scale path for q16):
     * 16-bit buckets keep per-bucket candidates ~N/65k at any N; 8 tables
@@ -827,6 +932,7 @@ object Queries {
     "q26_phash_neardup" -> (q26 _),
     "q27_ann_lsh" -> (q27 _),
     "q28_ann_ivf" -> (q28 _),
+    "q29_embedding_neardup" -> (q29 _),
     "q30_veg_flagship" -> (q30 _),
     "q31_phash_dedup" -> (q31 _),
     "q32_veg_summary" -> (q32 _),
@@ -867,9 +973,13 @@ object Queries {
     "q26_phash_neardup" -> o26,
     "q27_ann_lsh" -> o27,
     "q28_ann_ivf" -> o28,
+    "q29_embedding_neardup" -> o29,
+    "q30_veg_flagship" -> o30,
     "q31_phash_dedup" -> o31,
     "q32_veg_summary" -> o32,
     "q33_toid2uprn" -> o33,
+    "q34_veg_irgb" -> o34,
+    "q35_veg_nn" -> o35,
     "q38_seeded_sample" -> o38,
     "q39_veg_hex" -> o39
   )

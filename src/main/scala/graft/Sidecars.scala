@@ -22,6 +22,12 @@ object Sidecars {
   val vegNoFillPath = s"$root/veg_pergarden_nofill.parquet"
   val annLshPath = s"$root/ann_lsh_candidates.parquet"
   val annIvfPath = s"$root/ann_ivf_candidates.parquet"
+  val veg30FragsPath = s"$root/veg30_frags.parquet"
+  val veg30MetaPath = s"$root/veg30_meta.parquet"
+  val veg34FragsPath = s"$root/veg34_frags.parquet"
+  val veg34MetaPath = s"$root/veg34_meta.parquet"
+  val veg35FragsPath = s"$root/veg35_frags.parquet"
+  val veg35MetaPath = s"$root/veg35_meta.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -50,5 +56,17 @@ object Sidecars {
         nList = 32, nProbe = 8)
       .select("query_id", "neighbor_id").coalesce(1)
       .write.mode("overwrite").parquet(annIvfPath)
+    // q30/q34/q35: each flagship case's pre-aggregation fragment frame +
+    // garden metadata, so the oracle re-derives the distributed
+    // groupBy-sum / metadata join / fraction division independently
+    // (Queries.vegAggOracle; fragment scoring itself is unit-test-pinned)
+    Seq((Queries.veg30(s, dir), veg30FragsPath, veg30MetaPath),
+        (Queries.veg34(s, dir), veg34FragsPath, veg34MetaPath),
+        (Queries.veg35(s, dir), veg35FragsPath, veg35MetaPath))
+      .foreach { case (vc, fp, mp) =>
+        val (frags, meta) = Queries.vegFragParts(s, vc)
+        frags.coalesce(1).write.mode("overwrite").parquet(fp)
+        meta.coalesce(1).write.mode("overwrite").parquet(mp)
+      }
   }
 }

@@ -276,6 +276,20 @@ object VegPipeline extends org.apache.spark.internal.Logging {
   def fragmentSums(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
                    cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame = {
     val nK = cfg.kernelNames.length
+    val frags = fragments(spark, index, tiles, cfg, cirTiles)
+    val vegSums = (0 until nK).map(i => sum(col("veg")(i)).as(s"veg_$i"))
+    frags.groupBy("gid").agg(sum(col("npix")).as("npix"), vegSums: _*)
+  }
+
+  /** The unaggregated fragment frame (gid, npix, veg[nK]) that
+    * [[fragmentSums]] groups — one row per scored polygon∩tile fragment
+    * (plus the zero-fill rows when handleMissingTiles). Exposed so the
+    * correctness sidecars ([[graft.Sidecars]]) can hand the DuckDB oracle
+    * the pipeline's pre-aggregation state: the oracle then re-derives the
+    * groupBy-sum, metadata join and fraction division independently. */
+  def fragments(spark: SparkSession, index: PolyIndex, tiles: DataFrame,
+                cfg: Config, cirTiles: Option[DataFrame] = None): DataFrame = {
+    val nK = cfg.kernelNames.length
     require(nK > 0, "at least one index kernel required")
     require(index.tileSize == cfg.tileSize, "index/config tile size mismatch")
     // format-compat check (reference: analyse_polygons.py:208-213)
@@ -376,13 +390,9 @@ object VegPipeline extends org.apache.spark.internal.Logging {
           .select(col("s.gid").as("gid"), col("s.npix").as("npix"), col("s.veg").as("veg"))
       }
 
-    val frags =
-      if (cfg.handleMissingTiles)
-        scored.union(missingTileSums(prunedTiles, index, cfg))
-      else scored
-
-    val vegSums = (0 until nK).map(i => sum(col("veg")(i)).as(s"veg_$i"))
-    frags.groupBy("gid").agg(sum(col("npix")).as("npix"), vegSums: _*)
+    if (cfg.handleMissingTiles)
+      scored.union(missingTileSums(prunedTiles, index, cfg))
+    else scored
   }
 
   /** Distinct cells present in a tile table — an image_id-column-only

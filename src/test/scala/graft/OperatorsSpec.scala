@@ -679,4 +679,36 @@ class OperatorsSpec extends AnyFunSuite {
     val b = Streams.hourlyEventCounts(spark, "/root/testdata/sf0.001/events.parquet").collect()
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
+
+  test("embedding-cosine near-dup (q29) finds exactly the injected pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q29_embedding_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expectIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") % 50 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    // each injected perturbed copy pairs with its original and nothing else
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      expectIds.map(v => (v, v + 1000000L)).toSeq)
+    assert(got.forall(t => t._3 >= 98 && t._3 <= 100))
+  }
+
+  test("flagship fragment sidecar parts reproduce the q30 per-garden result") {
+    val vc = Queries.veg30(spark, "/root/testdata/sf0.001")
+    val (frags, meta) = Queries.vegFragParts(spark, vc)
+    val nK = vc.cfg.kernelNames.length
+    val sums = frags.groupBy("gid").agg(sum("npix").as("npix"),
+      (0 until nK).map(i => sum(col("veg")(i)).as(s"v$i")): _*)
+    val rebuilt = meta.join(sums, Seq("gid"), "left_outer")
+      .select(Seq(col("id"), coalesce(col("npix"), lit(0L)).as("npix")) ++
+        vc.cfg.kernelNames.zipWithIndex.map { case (k, i) =>
+          when(col("npix").isNull || col("npix") === 0L, lit(0.0))
+            .otherwise(col(s"v$i").cast("double") / col("npix").cast("double"))
+            .as(s"frac_$k")
+        }: _*)
+      .orderBy("id").collect().map(_.toString)
+    val direct = SparkEntry.queries("q30_veg_flagship")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString)
+    assert(rebuilt.toSeq == direct.toSeq)
+  }
 }

@@ -232,6 +232,28 @@ object Queries {
       |      + len(string_split_regex(lower(text), '\bdie\b')) - 1 + len(string_split_regex(lower(text), '\bist\b')) - 1 AS de_hits
       |  FROM documents) ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish regex token counting (the training-data checklist's second
+    * tokenizer beside q12's whitespace split): a GPT-2-style pretokenizer
+    * pattern — contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace — restricted to ASCII
+    * classes with no lookahead so Java regex (Spark codegen'd
+    * regexp_count) and RE2 (DuckDB) agree match-for-match. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val bpe = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+    t(s, dir, "documents").select(col("doc_id"),
+        regexp_count(col("text"), lit(bpe)).as("n_bpe"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+")).as("n_word"),
+        regexp_count(col("text"), lit("\\s+")).as("n_ws"))
+      .orderBy("doc_id")
+  }
+
+  private val o15 =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+')) AS n_bpe,
+      |  len(regexp_extract_all(text, ' ?[a-zA-Z]+')) AS n_word,
+      |  len(regexp_extract_all(text, '\s+')) AS n_ws
+      |FROM documents ORDER BY 1""".stripMargin
+
   /** Brute-force cosine top-k ANN baseline: every 100th vector queries the
     * full table; fp64 throughout so DuckDB's list functions agree bitwise. */
   private def q16(s: SparkSession, dir: String): DataFrame = {
@@ -919,6 +941,7 @@ object Queries {
     "q12_token_count" -> (q12 _),
     "q13_quality_score" -> (q13 _),
     "q14_langid" -> (q14 _),
+    "q15_bpe_tokens" -> (q15 _),
     "q16_embedding_topk" -> (q16 _),
     "q17_ngram_jaccard" -> (q17 _),
     "q18_stream_window" -> (q18 _),
@@ -960,6 +983,7 @@ object Queries {
     "q12_token_count" -> o12,
     "q13_quality_score" -> o13,
     "q14_langid" -> o14,
+    "q15_bpe_tokens" -> o15,
     "q16_embedding_topk" -> o16,
     "q17_ngram_jaccard" -> o17,
     "q18_stream_window" -> o18,

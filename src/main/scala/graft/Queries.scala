@@ -326,6 +326,32 @@ object Queries {
       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming per-user sessionization (event-time session windows,
+    * 4-hour gap) — declarative session_window; the custom-state
+    * flatMapGroupsWithState formulation is unit-tested equal
+    * ([[graft.streaming.Streams.userSessionsWithState]]). The oracle
+    * re-derives gap-and-islands sessionization in SQL: break at
+    * gap >= 4 h (session_window merges strictly-inside events),
+    * session_end = last event + gap. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.userSessions(s, s"$dir/events.parquet")
+
+  private val o40 =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 4 HOUR AS session_end,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
+
   /** Flight-date float math (S6/A8) oracle'd via ISO-calendar SQL. */
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val d = to_date(col("ts"))
@@ -965,7 +991,8 @@ object Queries {
     "q36_media_frames" -> (q36 _),
     "q37_audio_features" -> (q37 _),
     "q38_seeded_sample" -> (q38 _),
-    "q39_veg_hex" -> (q39 _)
+    "q39_veg_hex" -> (q39 _),
+    "q40_sessionize" -> (q40 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1005,6 +1032,7 @@ object Queries {
     "q34_veg_irgb" -> o34,
     "q35_veg_nn" -> o35,
     "q38_seeded_sample" -> o38,
-    "q39_veg_hex" -> o39
+    "q39_veg_hex" -> o39,
+    "q40_sessionize" -> o40
   )
 }

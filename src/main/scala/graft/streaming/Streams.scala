@@ -10,7 +10,7 @@ import graft.pipeline.VegPipeline
   * engine exposes the tile-scoring stage as an incremental streaming
   * pipeline (stateless map + idempotent per-batch commit) plus a
   * windowed-aggregation path over event streams. */
-object Streams {
+object Streams extends Serializable {
 
   /** Incremental tile scoring: tiles arriving in a parquet directory are
     * scored against the (static) prepared garden index per micro-batch;
@@ -66,21 +66,23 @@ object Streams {
       .drop("uprn", "sort_key")
   }
 
+  /** The file streaming source requires a directory; stage single files. */
+  private def stageDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+      d.toString
+    }
+  }
+
   /** Windowed streaming aggregation over an event stream (hourly windows,
     * per type), run to completion on a static parquet dir — the canonical
     * readStream -> window -> memory-sink pattern. */
   def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
     val static = spark.read.parquet(eventsPath)
-    // the file streaming source requires a directory; stage single files
-    val srcDir = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
-        d.toString
-      }
-    }
+    val srcDir = stageDir(eventsPath)
     val stream = spark.readStream.schema(static.schema).parquet(srcDir)
     val agg = stream
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ parquet -> event time
@@ -95,5 +97,124 @@ object Streams {
     spark.table(sinkName)
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
+  }
+
+  /** Per-user streaming sessionization via the DECLARATIVE session
+    * window (gap-merged event-time sessions): two events share a session
+    * iff their gap is strictly under `gap`; session end = last event +
+    * gap (Spark's session_window semantics — the gap-and-islands SQL
+    * oracle, o40, reproduces both conventions exactly). Complete-mode
+    * memory sink run to completion on a static dir, like
+    * [[hourlyEventCounts]]. */
+  def userSessions(spark: SparkSession, eventsPath: String,
+                   gap: String = "4 hours"): DataFrame = {
+    val static = spark.read.parquet(eventsPath)
+    val stream = spark.readStream.schema(static.schema).parquet(stageDir(eventsPath))
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    val sinkName = "graft_user_sessions"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // public: Janino-generated serializer code must resolve the accessors
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessState(startUs: Long, lastUs: Long, n: Long, sumScaled: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n: Long, sum_value: Double)
+
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The same sessionization via CUSTOM state — `KeyValueGroupedDataset.
+    * flatMapGroupsWithState` with an event-time timeout: one open-session
+    * state per user, sessions closed by a later event emit immediately,
+    * the final open session emits when the watermark passes its end
+    * (timeout). Unit-tested row-for-row equal to [[userSessions]] — the
+    * declarative path is the preferred formulation (Catalyst sees it);
+    * this is the template for session logic a built-in window can't
+    * express. value sums accumulate as scale-6 scaled longs (exact, the
+    * same quantization as the decimal cast on the declarative path).
+    * Caller drops parquet files into `srcDir` and calls
+    * `processAllAvailable()`; closed sessions append to the memory sink
+    * `sinkName`. A timeout only FIRES in a batch after the watermark
+    * advances past it, so a final flush needs two sentinel future-dated
+    * files (watermark updates at batch end, timeouts fire in the NEXT
+    * batch). */
+  def userSessionsWithState(spark: SparkSession, srcDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            gap: String, sinkName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapUs.months == 0 && gapUs.days == 0, "session gap must be sub-day exact")
+    val gapMicros = gapUs.microseconds
+
+    def scaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def emit(uid: Long, st: SessState): Session =
+      Session(uid, usToTs(st.startUs), usToTs(st.lastUs + gapMicros), st.n,
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(st.sumScaled), 6).doubleValue())
+
+    val events = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[SessEvent]
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = emit(uid, state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = evs.toArray.sortBy(e => tsToUs(e.ts))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val us = tsToUs(e.ts)
+              open match {
+                case Some(st) if us - st.lastUs < gapMicros =>
+                  open = Some(SessState(st.startUs, us, st.n + 1, st.sumScaled + scaled(e.value)))
+                case other =>
+                  other.foreach(st => closed += emit(uid, st))
+                  open = Some(SessState(us, us, 1L, scaled(e.value)))
+              }
+            }
+            open match {
+              case Some(st) if st.lastUs + gapMicros <= state.getCurrentWatermarkMs * 1000L =>
+                closed += emit(uid, st) // already expired: close now, no timeout
+                state.remove()
+              case Some(st) =>
+                state.update(st)
+                state.setTimeoutTimestamp(java.lang.Math.floorDiv(st.lastUs + gapMicros, 1000L))
+              case None => // timed-out path handled above; nothing open
+            }
+            closed.iterator
+          }
+      }
+    sessions.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
   }
 }

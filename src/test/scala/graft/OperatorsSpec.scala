@@ -680,6 +680,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("sessionization: flatMapGroupsWithState custom state equals declarative session_window") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    val declarative = Streams.userSessions(spark, eventsPath)
+      .collect().map(_.toString).sorted
+    // 691 sessions independently derived via gap-and-islands SQL in DuckDB
+    assert(declarative.length == 691)
+
+    val static = spark.read.parquet(eventsPath)
+    val dir = Files.createTempDirectory("graft_sess_state")
+    Files.copy(Paths.get(eventsPath), dir.resolve("data.parquet"))
+    val q = Streams.userSessionsWithState(spark, dir.toString, static.schema,
+      "4 hours", "sess_state_sink")
+    try {
+      q.processAllAvailable()
+      // two sentinel future-dated batches: the first advances the
+      // watermark past every open session, the second fires the timeouts
+      // (watermark updates at batch END; timeouts fire in the NEXT batch)
+      val maxTs = static.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+      (1 to 2).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft_sess_sentinel$i")
+        static.limit(1)
+          .withColumn("user_id", lit(-1L * i))
+          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L))
+            .cast(static.schema("ts").dataType))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, dir.resolve(s"sentinel$i.parquet"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sess_state_sink").where(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n", "sum_value")
+        .collect().map(_.toString).sorted
+      assert(got.toSeq == declarative.toSeq)
+    } finally q.stop()
+  }
+
   test("embedding-cosine near-dup (q29) finds exactly the injected pairs") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q29_embedding_neardup")(spark, dir).collect()

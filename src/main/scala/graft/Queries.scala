@@ -929,6 +929,21 @@ object Queries {
       .orderBy("media_id", "mean_b")
   }
 
+  /** Oracle over the decoded-pixel sidecar ([[Sidecars.framePixelsPath]]):
+    * recomputes the per-frame channel means, rounding and ordering from
+    * raw pixels. Channel sums are exact integers and npix = 2^k, so the
+    * mean division is bit-exact in both engines. */
+  private lazy val o36 =
+    s"""WITH f AS (
+       |  SELECT media_id, frame_idx, any_value(n_frames) AS n_frames,
+       |         CAST(sum(b) AS DOUBLE) / count(*) AS mb,
+       |         CAST(sum(g) AS DOUBLE) / count(*) AS mg
+       |  FROM read_parquet('${Sidecars.framePixelsPath}/*.parquet')
+       |  GROUP BY 1, 2)
+       |SELECT media_id, CAST(n_frames AS INT) AS n_frames,
+       |       round(mb, 4) AS mean_b, round(mg, 4) AS mean_g
+       |FROM f ORDER BY media_id, round(mb, 4)""".stripMargin
+
   /** Multimodal: audio RMS / zero-crossing features via the native
     * [[graft.media.AudioFeatures]] expression (no typed map — stays
     * inside the columnar plan beside the other media expressions). */
@@ -942,6 +957,172 @@ object Queries {
         round(coalesce(col("f.zcr"), lit(-1.0)), 5).as("zcr"))
       .orderBy("media_id")
   }
+
+  /** Oracle over the PCM-sample sidecar ([[Sidecars.audioSamplesPath]]):
+    * recomputes RMS and zero-crossing rate from raw int16 samples. The
+    * square-sum is exact (int16^2 * 4000 << 2^53) so sqrt(sum/n) is the
+    * identical IEEE operation on both sides; zcr is an exact rational
+    * with odd denominator, so the 5-dp round can't straddle a half. */
+  private lazy val o37 =
+    s"""WITH s AS (
+       |  SELECT media_id, i, sample,
+       |         lag(sample) OVER (PARTITION BY media_id ORDER BY i) AS prev
+       |  FROM read_parquet('${Sidecars.audioSamplesPath}/*.parquet')),
+       |a AS (
+       |  SELECT media_id,
+       |         sqrt(CAST(sum(CAST(sample AS BIGINT) * sample) AS DOUBLE)
+       |              / count(*)) AS rms,
+       |         CAST(sum(CASE WHEN prev IS NOT NULL
+       |                        AND ((sample >= 0) <> (prev >= 0))
+       |                       THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / (count(*) - 1) AS zcr
+       |  FROM s GROUP BY 1)
+       |SELECT media_id, round(rms, 3) AS rms, round(zcr, 5) AS zcr
+       |FROM a ORDER BY 1""".stripMargin
+
+  /** As-of join: for each click event, the latest STRICTLY-prior error
+    * event of the same user. Spark-first formulation: tag-union + one
+    * running `last(ignoreNulls)` window over (user_id, ts) — a single
+    * shuffle on user_id, no per-row range scan and no theta-join; the
+    * classic scale shape for as-of/point-in-time joins (both sides
+    * co-partitioned by key, one sort within partition). Ties: an error
+    * at the exact click timestamp is excluded (strict <); equal-ts
+    * errors resolve to the max event_id (window order tag, event_id ==
+    * the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1). */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("struct<id:bigint,value:double>").as("err"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        struct(col("event_id").as("id"), col("value")).as("err"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_err", last(col("err"), ignoreNulls = true).over(w))
+      .where(col("tag") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("last_err.id").as("err_id"), col("last_err.value").as("err_value"))
+      .orderBy("click_id")
+  }
+
+  private val o41 =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |       e.event_id AS err_id, e.value AS err_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN LATERAL (
+      |  SELECT e2.event_id, e2.value FROM events e2
+      |  WHERE e2.event_type = 'error' AND e2.user_id = c.user_id
+      |    AND e2.ts < c.ts
+      |  ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) e ON true
+      |ORDER BY 1""".stripMargin
+
+  /** Bucketed range join: for each error event, how many of the same
+    * user's clicks land in the following 5 minutes. The time axis is
+    * bucketed at the window width, so each error equi-joins at most two
+    * (user_id, bucket) keys and the exact interval predicate refines
+    * inside the join — no BroadcastNestedLoopJoin, no all-pairs. This is
+    * the 100 TB shape for interval/range joins (bucket count scales with
+    * the data, AQE can skew-split hot buckets). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 300L * 1000000L
+    // the parquet ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+    // yields the same microseconds DuckDB's epoch_us reads off the
+    // naive timestamp
+    val ev = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("eus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"),
+        floor(col("us") / winUs).as("bk"))
+    val probes = errors.withColumn("bk",
+      explode(array(floor(col("eus") / winUs), floor(col("eus") / winUs) + 1)))
+    val counts = probes.join(clicks, Seq("user_id", "bk"))
+      .where(col("cus") > col("eus") && col("cus") <= col("eus") + winUs)
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("err_id")
+  }
+
+  private val o42 =
+    """SELECT e.event_id AS err_id, e.user_id,
+      |       (SELECT count(*) FROM events c
+      |        WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |          AND epoch_us(c.ts) > epoch_us(e.ts)
+      |          AND epoch_us(c.ts) <= epoch_us(e.ts) + 300000000) AS n_clicks
+      |FROM events e WHERE e.event_type = 'error' ORDER BY 1""".stripMargin
+
+  /** Gopher-style repetition quality signal: fraction of duplicate word
+    * trigrams per document. Narrow per-row array ops only (split /
+    * transform / array_distinct stay in whole-stage codegen) — zero
+    * shuffle, the cheapest possible 100 TB shape. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val nTg = size(col("tg"))
+    val nDup = nTg - size(array_distinct(col("tg")))
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("tg", expr(
+        """CASE WHEN size(ws) < 3 THEN cast(array() AS array<string>)
+          |ELSE transform(sequence(0, size(ws) - 3),
+          |               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END""".stripMargin))
+      .select(col("doc_id"), nTg.as("n_trigrams"), nDup.as("n_dup"),
+        when(nTg === 0, lit(0.0))
+          .otherwise(nDup.cast("double") / nTg.cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val o43 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+      |      FROM t)
+      |SELECT doc_id, len(tg) AS n_trigrams,
+      |       len(tg) - len(list_distinct(tg)) AS n_dup,
+      |       CASE WHEN len(tg) = 0 THEN 0.0
+      |            ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+      |       END AS dup_frac
+      |FROM g ORDER BY 1""".stripMargin
+
+  /** TF/DF keyword extraction: top-3 terms per document ranked by tf/df
+    * (document-frequency-normalised term frequency; ln(N/df) is monotone
+    * in 1/df at fixed tf, and the integer-ratio score keeps the
+    * cross-engine compare bit-exact — no libm log discrepancies).
+    * groupBy + one word-keyed join + per-doc window: every stage keys on
+    * a high-cardinality column, map-side partial aggregation applies. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val o44 =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |             row_number() OVER (PARTITION BY tf.doc_id
+      |               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word) AS rank
+      |      FROM tf JOIN df USING (word))
+      |SELECT doc_id, rank, word, tf, df FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
 
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
@@ -992,7 +1173,11 @@ object Queries {
     "q37_audio_features" -> (q37 _),
     "q38_seeded_sample" -> (q38 _),
     "q39_veg_hex" -> (q39 _),
-    "q40_sessionize" -> (q40 _)
+    "q40_sessionize" -> (q40 _),
+    "q41_asof_join" -> (q41 _),
+    "q42_range_join" -> (q42 _),
+    "q43_repetition" -> (q43 _),
+    "q44_keywords" -> (q44 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1031,8 +1216,14 @@ object Queries {
     "q33_toid2uprn" -> o33,
     "q34_veg_irgb" -> o34,
     "q35_veg_nn" -> o35,
+    "q36_media_frames" -> o36,
+    "q37_audio_features" -> o37,
     "q38_seeded_sample" -> o38,
     "q39_veg_hex" -> o39,
-    "q40_sessionize" -> o40
+    "q40_sessionize" -> o40,
+    "q41_asof_join" -> o41,
+    "q42_range_join" -> o42,
+    "q43_repetition" -> o43,
+    "q44_keywords" -> o44
   )
 }

@@ -28,6 +28,8 @@ object Sidecars {
   val veg34MetaPath = s"$root/veg34_meta.parquet"
   val veg35FragsPath = s"$root/veg35_frags.parquet"
   val veg35MetaPath = s"$root/veg35_meta.parquet"
+  val framePixelsPath = s"$root/media_frame_pixels.parquet"
+  val audioSamplesPath = s"$root/media_audio_samples.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -68,5 +70,34 @@ object Sidecars {
         frags.coalesce(1).write.mode("overwrite").parquet(fp)
         meta.coalesce(1).write.mode("overwrite").parquet(mp)
       }
+    // q36/q37: the DECODED media payloads (sampled-frame pixels, PCM
+    // samples) — container decode is the one step no SQL engine can do;
+    // the oracle recomputes every statistic (channel means, RMS,
+    // zero-crossing rate, rounding, ordering) from the raw samples.
+    // All sums are exact in int64/double (byte and int16 inputs), so the
+    // compare is bit-exact, not tolerance-based.
+    import s.implicits._
+    graft.media.SyntheticMedia.videos(s, 24)
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nf = graft.media.MediaCodec.videoMeta(bytes).map(_.nFrames).getOrElse(0)
+        graft.media.MediaCodec.sampleFrames(bytes, 4).zipWithIndex.flatMap {
+          case (png, fi) =>
+            val r = graft.img.Codec.decodeBGR(png)
+            (0 until r.w * r.h).map { p =>
+              (id, fi, nf, r.data(p * 3) & 0xff, r.data(p * 3 + 1) & 0xff)
+            }
+        }
+      }.toDF("media_id", "frame_idx", "n_frames", "b", "g")
+      .coalesce(1).write.mode("overwrite").parquet(framePixelsPath)
+    graft.media.SyntheticMedia.audios(s, 32)
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes, 8, bytes.length - 8))
+        val n = in.readInt(); val _ = in.readInt()
+        (0 until n).map(i => (id, i, in.readShort().toInt))
+      }.toDF("media_id", "i", "sample")
+      .coalesce(1).write.mode("overwrite").parquet(audioSamplesPath)
   }
 }

@@ -750,4 +750,92 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(rebuilt.toSeq == direct.toSeq)
   }
+
+  // ------------------------------------------------ as-of / range joins
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ts(sec: Long) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+
+  test("as-of join (q41): strict prior, equal-ts exclusion, max-event_id tiebreak") {
+    val dir = writeEvents(Seq(
+      (1L, ts(10), 1L, "error", 1.5),
+      (2L, ts(10), 1L, "error", 2.5),  // same ts as 1: max event_id must win
+      (3L, ts(20), 1L, "error", 3.5),  // equal to click 4's ts: excluded (strict <)
+      (4L, ts(20), 1L, "click", 0.0),
+      (5L, ts(30), 1L, "click", 0.0),  // sees error 3
+      (6L, ts(5), 2L, "click", 0.0),   // no prior error for user 2
+      (7L, ts(9), 2L, "error", 7.5),
+      (8L, ts(12), 2L, "click", 0.0)))
+    val out = SparkEntry.queries("q41_asof_join")(spark, dir)
+      .select("click_id", "err_id", "err_value").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(out == Seq((4L, 2L, 2.5), (5L, 3L, 3.5), (6L, -1L, -1.0), (8L, 7L, 7.5)))
+  }
+
+  test("bucketed range join (q42) equals brute force; plan has no nested-loop/cartesian join") {
+    // clicks straddle bucket boundaries and the exact +300 s edge
+    val rows = (0 until 40).map { i =>
+      val kind = if (i % 4 == 0) "error" else "click"
+      (100L + i, ts(i.toLong * 97 % 1300), (i % 3).toLong, kind, i.toDouble)
+    } ++ Seq(
+      (900L, ts(1000), 9L, "error", 0.0),
+      (901L, ts(1000), 9L, "click", 0.0),   // equal ts: excluded (strict >)
+      (902L, ts(1300), 9L, "click", 0.0),   // exactly +300 s: included
+      (903L, ts(1301), 9L, "click", 0.0))   // just beyond: excluded
+    val dir = writeEvents(rows)
+    val df = SparkEntry.queries("q42_range_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val errs = rows.filter(_._4 == "error")
+    val clicks = rows.filter(_._4 == "click")
+    val brute = errs.map { e =>
+      e._1 -> clicks.count(c => c._3 == e._3 &&
+        c._2.getTime > e._2.getTime && c._2.getTime <= e._2.getTime + 300000L).toLong
+    }.toMap
+    assert(got == brute)
+    assert(got(900L) == 1L)  // only the exact +300 s click
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("trigram repetition (q43): duplicate fractions incl. short-doc edge") {
+    val dir = writeDocs(Seq(
+      (0L, "a b a b a b"),   // 4 trigrams, 2 distinct
+      (1L, "x y"),           // too short: 0 trigrams, frac 0
+      (2L, "w w w w w"),     // 3 trigrams, all identical
+      (3L, "p q r s")))      // 2 trigrams, all distinct
+    val got = SparkEntry.queries("q43_repetition")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 4, 2, 0.5), (1L, 0, 0, 0.0),
+      (2L, 3, 2, 2.0 / 3.0), (3L, 2, 0, 0.0)))
+  }
+
+  test("tf/df keywords (q44): ranking and word-order tiebreak") {
+    val dir = writeDocs(Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry")))
+    val got = SparkEntry.queries("q44_keywords")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    // doc0: apple tf2/df1=2.0, banana tf1/df2=0.5; doc1: cherry 1.0, banana 0.5
+    assert(got == Seq((0L, 1, "apple", 2L, 1L), (0L, 2, "banana", 1L, 2L),
+      (1L, 1, "cherry", 1L, 1L), (1L, 2, "banana", 1L, 2L)))
+  }
 }

@@ -1124,6 +1124,73 @@ object Queries {
       |      FROM tf JOIN df USING (word))
       |SELECT doc_id, rank, word, tf, df FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
 
+  /** Benchmark decontamination (GPT-3-style): flag corpus documents that
+    * share any word 5-gram with a held-out test set (doc_id % 20 == 0
+    * stands in for the eval benchmark). Grams are keyed by a 64-bit md5
+    * prefix so the join carries 16-byte keys, not full n-gram strings —
+    * at 100 TB the distinct test-set gram hashes are benchmark-sized
+    * (MBs), so they BROADCAST and the corpus side streams map-only
+    * through the contains check; no corpus shuffle, no all-pairs. The
+    * only exchange is the per-doc count aggregation on doc_id. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 5),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))""".stripMargin)).as("ng"))
+      .select(col("doc_id"), substring(md5(col("ng")), 1, 16).as("h"))
+    val testGrams = grams.where(col("doc_id") % 20 === 0).select("h").distinct()
+    val hits = grams.where(col("doc_id") % 20 =!= 0)
+      .join(broadcast(testGrams), "h")
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+    docs.where(col("doc_id") % 20 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val o45 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id,
+      |              unnest(list_transform(range(1, len(ws) - 3),
+      |                     i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS ng
+      |       FROM t WHERE len(ws) >= 5),
+      |g AS (SELECT doc_id, substr(md5(ng), 1, 16) AS h FROM g0),
+      |test AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+      |hits AS (SELECT doc_id, count(DISTINCT h) AS n_shared
+      |         FROM g JOIN test USING (h) WHERE doc_id % 20 != 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |       CAST(coalesce(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 20 != 0 ORDER BY 1""".stripMargin
+
+  /** Deterministic content-hash train/val/test split (80/10/10): the
+    * standard reproducible-pipeline splitter — assignment depends only on
+    * the document bytes, so re-runs, re-shards and incremental appends
+    * land each document in the same split with no state and no shuffle
+    * (pure per-row projection; the cheapest 100 TB shape). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val o46 =
+    """SELECT doc_id,
+      |       CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 AS INTEGER) AS bucket,
+      |       CASE WHEN CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 < 80 THEN 'train'
+      |            WHEN CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY 1""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1177,7 +1244,9 @@ object Queries {
     "q41_asof_join" -> (q41 _),
     "q42_range_join" -> (q42 _),
     "q43_repetition" -> (q43 _),
-    "q44_keywords" -> (q44 _)
+    "q44_keywords" -> (q44 _),
+    "q45_decontaminate" -> (q45 _),
+    "q46_hash_split" -> (q46 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1224,6 +1293,8 @@ object Queries {
     "q41_asof_join" -> o41,
     "q42_range_join" -> o42,
     "q43_repetition" -> o43,
-    "q44_keywords" -> o44
+    "q44_keywords" -> o44,
+    "q45_decontaminate" -> o45,
+    "q46_hash_split" -> o46
   )
 }

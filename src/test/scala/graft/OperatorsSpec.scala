@@ -838,4 +838,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1, "apple", 2L, 1L), (0L, 2, "banana", 1L, 2L),
       (1L, 1, "cherry", 1L, 1L), (1L, 2, "banana", 1L, 2L)))
   }
+
+  test("decontamination (q45): 5-gram overlap vs brute force; broadcast plan, no cartesian") {
+    // test docs are doc_id % 20 == 0; doc 21 copies a 5-gram run from doc 0,
+    // doc 22 shares only a 4-gram (below n), doc 23 is short, doc 24 clean
+    val dir = writeDocs(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (20L, "one two three four five six"),
+      (21L, "xx alpha beta gamma delta epsilon yy"),          // 1 shared 5-gram (from doc 0)
+      (22L, "one two three four nope"),                        // longest overlap = 4-gram: clean
+      (23L, "two three"),                                      // too short for any 5-gram
+      (24L, "totally different words here with no overlap at all"),
+      (25L, "two three four five six seven")))                 // shares "two three four five six"
+    val df = SparkEntry.queries("q45_decontaminate")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))  // test-gram side broadcasts
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((21L, 1L, 1), (22L, 0L, 0), (23L, 0L, 0),
+      (24L, 0L, 0), (25L, 1L, 1)))
+    // brute force over raw grams (no hashing) must agree on the flag set
+    def grams(s: String): Set[String] = {
+      val w = s.split(" ")
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val docs = Seq(0L -> "alpha beta gamma delta epsilon zeta eta",
+      20L -> "one two three four five six",
+      21L -> "xx alpha beta gamma delta epsilon yy",
+      22L -> "one two three four nope", 23L -> "two three",
+      24L -> "totally different words here with no overlap at all",
+      25L -> "two three four five six seven")
+    val testG = docs.filter(_._1 % 20 == 0).flatMap(d => grams(d._2)).toSet
+    val brute = docs.filter(_._1 % 20 != 0)
+      .map(d => (d._1, grams(d._2).count(testG.contains).toLong)).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == brute)
+  }
+
+  test("hash split (q46): deterministic, content-keyed, buckets in range, split thresholds") {
+    val dir = writeDocs((0L until 64L).map(i => (i, s"document body number ${i % 16}")))
+    val a = SparkEntry.queries("q46_hash_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val b = SparkEntry.queries("q46_hash_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(a == b)  // deterministic across runs
+    assert(a.forall { case (_, bk, sp) =>
+      bk >= 0 && bk < 100 &&
+        sp == (if (bk < 80) "train" else if (bk < 90) "val" else "test") })
+    // same text -> same bucket regardless of doc_id (content-keyed)
+    val byText = a.groupBy(_._1 % 16).values
+    assert(byText.forall(g => g.map(_._2).distinct.size == 1))
+  }
 }

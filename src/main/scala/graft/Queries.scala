@@ -502,11 +502,15 @@ object Queries {
     * md5-vote based, so o24 re-derives the WHOLE pipeline — token
     * hashes, 64 bit votes, banding, bucket join, hamming refine — in
     * DuckDB SQL, independently of the engine. */
-  private def q24(s: SparkSession, dir: String): DataFrame = {
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir).orderBy("a_id", "b_id")
+
+  /** SimHash near-dup candidate pairs — shared by q24 (the pair list)
+    * and q47 (cluster assignment over the pair graph). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(col("doc_id"),
       Exprs.col(SimHash64(Exprs.expr(split(lower(col("text")), "\\s+")))).as("simhash"))
     graft.functions.NearDup.bandedSelfJoin(sh, "doc_id", "simhash", bandBits = 16, maxHamming = 16)
-      .orderBy("a_id", "b_id")
   }
 
   /** o24: md5_64(token) = big-endian first 8 md5 bytes, recovered via the
@@ -1191,6 +1195,66 @@ object Queries {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** Dedup cluster assignment: connected components over the SimHash
+    * near-dup pair graph (q24's edges), labelling every document with the
+    * minimum doc_id of its duplicate cluster — the step that turns
+    * candidate PAIRS into a keep/drop decision (`keep` = the canonical
+    * min-id member). Iterative min-label propagation with pointer
+    * jumping ([[graft.functions.ConnectedComponents]]): O(log d) rounds
+    * of plain keyed shuffles, no driver-side graph state — the 100 TB
+    * shape for transitive dedup, where a duplicate CHAIN (a~b~c with a,c
+    * not directly paired) must still collapse to one cluster. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
+    val edges = simhashPairs(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comps = graft.functions.ConnectedComponents.run(nodes, edges)
+    val sizes = comps.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** o47: o24's full simhash/banding/hamming derivation feeding a
+    * recursive min-label closure — with symmetric edges, the set of
+    * labels reachable from a node spans its whole component, so
+    * min(lbl) is the component minimum. */
+  private val o47 =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bits.b AS b,
+      |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(64)) AS b) bits
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS UBIGINT) AS u
+      |  FROM votes GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, u, bd.band AS band, (u >> (bd.band * 16)) & 65535 AS bucket
+      |  FROM sh, (SELECT unnest(range(4)) AS band) bd),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 16),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |cc(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id),
+      |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY 1),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+      |       CAST(l.doc_id = l.cluster_id AS INTEGER) AS keep
+      |FROM lab l JOIN sz s USING (cluster_id) ORDER BY 1""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1246,7 +1310,8 @@ object Queries {
     "q43_repetition" -> (q43 _),
     "q44_keywords" -> (q44 _),
     "q45_decontaminate" -> (q45 _),
-    "q46_hash_split" -> (q46 _)
+    "q46_hash_split" -> (q46 _),
+    "q47_dedup_clusters" -> (q47 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1295,6 +1360,7 @@ object Queries {
     "q43_repetition" -> o43,
     "q44_keywords" -> o44,
     "q45_decontaminate" -> o45,
-    "q46_hash_split" -> o46
+    "q46_hash_split" -> o46,
+    "q47_dedup_clusters" -> o47
   )
 }

@@ -875,6 +875,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(r => r._1 -> r._2).toMap == brute)
   }
 
+  test("connected components: chain, star, singleton; multi-round convergence") {
+    import spark.implicits._
+    // one 50-node chain (worst case for label propagation), one star, one singleton
+    val chain = (0L until 49L).map(i => (i + 1, i))      // edges point "backwards"
+    val star = Seq((100L, 103L), (100L, 101L), (102L, 100L))
+    val nodes = ((0L to 49L) ++ (100L to 103L) ++ Seq(999L)).toDF("id")
+    val edges = (chain ++ star).toDF("src", "dst")
+    val got = graft.functions.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 49L).forall(got(_) == 0L))
+    assert((100L to 103L).forall(got(_) == 100L))
+    assert(got(999L) == 999L)
+  }
+
+  test("dedup clusters (q47): transitive chain collapses; agrees with union-find over q24 pairs") {
+    // docs 0/1/2 form a near-dup CHAIN under simhash hamming<=16 (0~1, 1~2
+    // likely; 0~2 may or may not pair directly — CC must union them
+    // regardless); 3/4 are exact dups; 5 is unrelated.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again tonight"),
+      (3L, "entirely different content about spark query engines at scale"),
+      (4L, "entirely different content about spark query engines at scale"),
+      (5L, "zebra xylophone quartz vortex jumble frond plinth"))
+    val dir = writeDocs(docs)
+    val pairs = SparkEntry.queries("q24_simhash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    // brute-force union-find over the SAME pair set
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = docs.map(d => d._1 -> find(d._1)).toMap
+    val got = SparkEntry.queries("q47_dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    val sizes = want.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.forall { case (id, cl, sz, keep) =>
+      sz == sizes(cl) && keep == (if (id == cl) 1 else 0) })
+  }
+
   test("hash split (q46): deterministic, content-keyed, buckets in range, split thresholds") {
     val dir = writeDocs((0L until 64L).map(i => (i, s"document body number ${i % 16}")))
     val a = SparkEntry.queries("q46_hash_split")(spark, dir).collect()

@@ -42,9 +42,16 @@ object ConnectedComponents {
       .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var changed = 1L
+    // Convergence: propagation is monotone (labels only ever decrease),
+    // so Σ label strictly decreases iff any label changed — a narrow
+    // exact-decimal aggregate per round instead of a |V| join. decimal
+    // sum cannot overflow at any node count a long id space admits.
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSig = sig(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id")).agg(min("label").as("label"))
       val jumped = neighborMin.as("a")
@@ -53,12 +60,13 @@ object ConnectedComponents {
         .select(col("a.id").as("id"),
           coalesce(col("b.llabel"), col("a.label")).as("label"))
         .localCheckpoint(true)
-      changed = jumped.as("n").join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label")).count()
+      val s = sig(jumped)
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
       labels = jumped
       iter += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }
 }

@@ -1195,6 +1195,35 @@ object Queries {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** PII redaction: replace email addresses and phone numbers with typed
+    * placeholder tokens and count what was removed — the scrub step of a
+    * corpus pipeline. Pure per-row regexp projection (codegen'd, zero
+    * shuffle beyond the presentation sort): the cheapest possible 100 TB
+    * shape. Patterns avoid lookaround so the same regex is valid in both
+    * Java regex (engine) and RE2 (oracle); counts are taken on the
+    * ORIGINAL text, and replacement order (emails first) is fixed so the
+    * two engines agree even if one substitution could affect the other. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), phone, "<PHONE>")
+        .as("redacted"),
+      (size(split(col("text"), email, -1)) - 1).as("n_emails"),
+      (size(split(col("text"), phone, -1)) - 1).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  private val o48 =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+      |       CAST(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INTEGER) AS n_emails,
+      |       CAST(len(regexp_split_to_array(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) - 1 AS INTEGER) AS n_phones
+      |FROM documents ORDER BY 1""".stripMargin
+
   /** Dedup cluster assignment: connected components over the SimHash
     * near-dup pair graph (q24's edges), labelling every document with the
     * minimum doc_id of its duplicate cluster — the step that turns
@@ -1311,7 +1340,8 @@ object Queries {
     "q44_keywords" -> (q44 _),
     "q45_decontaminate" -> (q45 _),
     "q46_hash_split" -> (q46 _),
-    "q47_dedup_clusters" -> (q47 _)
+    "q47_dedup_clusters" -> (q47 _),
+    "q48_redact_pii" -> (q48 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1361,6 +1391,7 @@ object Queries {
     "q44_keywords" -> o44,
     "q45_decontaminate" -> o45,
     "q46_hash_split" -> o46,
-    "q47_dedup_clusters" -> o47
+    "q47_dedup_clusters" -> o47,
+    "q48_redact_pii" -> o48
   )
 }

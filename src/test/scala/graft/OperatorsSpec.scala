@@ -918,6 +918,22 @@ class OperatorsSpec extends AnyFunSuite {
       sz == sizes(cl) && keep == (if (id == cl) 1 else 0) })
   }
 
+  test("PII redaction (q48): emails and phones replaced and counted; clean text untouched") {
+    val dir = writeDocs(Seq(
+      (0L, "contact alice.smith+dev@example.co.uk or bob@test.org today"),
+      (1L, "call 555-123-4567 or 555 987 6543 now"),
+      (2L, "mixed: c@d.io and 111-222-3333 together"),
+      (3L, "no pii here at all"),
+      (4L, "not a phone: 12-34-56 or 1234-567-8901x")))  // no \b-delimited 3-3-4 run
+    val got = SparkEntry.queries("q48_redact_pii")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got(0) == ((0L, "contact <EMAIL> or <EMAIL> today", 2, 0)))
+    assert(got(1) == ((1L, "call <PHONE> or <PHONE> now", 0, 2)))
+    assert(got(2) == ((2L, "mixed: <EMAIL> and <PHONE> together", 1, 1)))
+    assert(got(3) == ((3L, "no pii here at all", 0, 0)))
+    assert(got(4) == ((4L, "not a phone: 12-34-56 or 1234-567-8901x", 0, 0)))
+  }
+
   test("hash split (q46): deterministic, content-keyed, buckets in range, split thresholds") {
     val dir = writeDocs((0L until 64L).map(i => (i, s"document body number ${i % 16}")))
     val a = SparkEntry.queries("q46_hash_split")(spark, dir).collect()

@@ -1195,6 +1195,55 @@ object Queries {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** Stratified corpus sampling at per-language rates (en 50%, fr 20%,
+    * de 10%): the rebalancing step of corpus assembly. Deterministic
+    * hash-threshold sampling — keep a document iff its salted content
+    * hash falls under the stratum's per-cent threshold — so the whole
+    * operator is a map-only projection+filter: no window, no shuffle, no
+    * per-stratum reducer (a row_number-per-language design would funnel
+    * each language through ONE partition at 100 TB). The salt decorrelates
+    * the sampling hash from q46's split hash. Re-runs, re-shards and
+    * appends keep/drop the same documents by construction. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    def hits(words: Seq[String]): Column =
+      words.map(wd => size(split(low, s"\\b$wd\\b")) - 1).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val fr = hits(Seq("le", "la", "et", "est"))
+    val de = hits(Seq("der", "und", "die", "ist"))
+    val lang = when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de")
+    val bucket = (conv(substring(md5(concat(lit("strat|"), col("text"))), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+    val rate = when(lang === "en", 50).when(lang === "fr", 20).otherwise(10)
+    t(s, dir, "documents")
+      .select(col("doc_id"), lang.as("lang_guess"), bucket.as("strat_bucket"),
+        rate.as("rate_pct"))
+      .where(col("strat_bucket") < col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
+  private val o49 =
+    """WITH l AS (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(lower(text), '\bthe\b')) - 1 + len(string_split_regex(lower(text), '\band\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bof\b')) - 1 + len(string_split_regex(lower(text), '\bis\b')) - 1 AS en_hits,
+      |    len(string_split_regex(lower(text), '\ble\b')) - 1 + len(string_split_regex(lower(text), '\bla\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bet\b')) - 1 + len(string_split_regex(lower(text), '\best\b')) - 1 AS fr_hits,
+      |    len(string_split_regex(lower(text), '\bder\b')) - 1 + len(string_split_regex(lower(text), '\bund\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bdie\b')) - 1 + len(string_split_regex(lower(text), '\bist\b')) - 1 AS de_hits
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |              WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess,
+      |         CAST(CAST(('0x' || substr(md5('strat|' || text), 1, 6)) AS BIGINT) % 100 AS INTEGER) AS strat_bucket
+      |  FROM l)
+      |SELECT doc_id, lang_guess, strat_bucket,
+      |       CASE lang_guess WHEN 'en' THEN 50 WHEN 'fr' THEN 20 ELSE 10 END AS rate_pct
+      |FROM g
+      |WHERE strat_bucket < CASE lang_guess WHEN 'en' THEN 50 WHEN 'fr' THEN 20 ELSE 10 END
+      |ORDER BY 1""".stripMargin
+
   /** PII redaction: replace email addresses and phone numbers with typed
     * placeholder tokens and count what was removed — the scrub step of a
     * corpus pipeline. Pure per-row regexp projection (codegen'd, zero
@@ -1341,7 +1390,8 @@ object Queries {
     "q45_decontaminate" -> (q45 _),
     "q46_hash_split" -> (q46 _),
     "q47_dedup_clusters" -> (q47 _),
-    "q48_redact_pii" -> (q48 _)
+    "q48_redact_pii" -> (q48 _),
+    "q49_stratified_sample" -> (q49 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1392,6 +1442,7 @@ object Queries {
     "q45_decontaminate" -> o45,
     "q46_hash_split" -> o46,
     "q47_dedup_clusters" -> o47,
-    "q48_redact_pii" -> o48
+    "q48_redact_pii" -> o48,
+    "q49_stratified_sample" -> o49
   )
 }

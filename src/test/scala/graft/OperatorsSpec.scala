@@ -934,6 +934,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4) == ((4L, "not a phone: 12-34-56 or 1234-567-8901x", 0, 0)))
   }
 
+  test("stratified sample (q49): per-language rates, deterministic, matches independent md5 math") {
+    // 40 en / 40 fr / 40 de docs with unambiguous stopword signals
+    val docs = (0L until 120L).map { i =>
+      val body = i % 3 match {
+        case 0 => s"the cat and the dog of house $i is here"
+        case 1 => s"le chat et la maison $i est grande"
+        case _ => s"der hund und die katze $i ist gross"
+      }
+      (i, body)
+    }
+    val dir = writeDocs(docs)
+    val got = SparkEntry.queries("q49_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    // independent reimplementation: JDK MessageDigest md5, same salt/bucket
+    def bucket(text: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"strat|$text".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16) % 100).toInt
+    }
+    val rates = Map("en" -> 50, "fr" -> 20, "de" -> 10)
+    val want = docs.flatMap { case (id, text) =>
+      val lang = (id % 3) match { case 0 => "en"; case 1 => "fr"; case _ => "de" }
+      val b = bucket(text)
+      if (b < rates(lang)) Some((id, lang, b, rates(lang))) else None
+    }
+    assert(got == want)
+    assert(got.nonEmpty && got.map(_._2).distinct.size == 3)  // every stratum sampled
+  }
+
   test("hash split (q46): deterministic, content-keyed, buckets in range, split thresholds") {
     val dir = writeDocs((0L until 64L).map(i => (i, s"document body number ${i % 16}")))
     val a = SparkEntry.queries("q46_hash_split")(spark, dir).collect()

@@ -963,6 +963,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._2).distinct.size == 3)  // every stratum sampled
   }
 
+  test("map-only corpus ops (q46/q48/q49): no joins, only the presentation-sort exchange") {
+    val dir = writeDocs((0L until 32L).map(i => (i, s"the words of document $i and more")))
+    for (q <- Seq("q46_hash_split", "q48_redact_pii", "q49_stratified_sample")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
+      // AQE prints the plan twice (initial + final); the only exchange
+      // kind allowed anywhere is the presentation sort's rangepartitioning
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q has non-sort exchanges: $exchanges")
+    }
+  }
+
   test("hash split (q46): deterministic, content-keyed, buckets in range, split thresholds") {
     val dir = writeDocs((0L until 64L).map(i => (i, s"document body number ${i % 16}")))
     val a = SparkEntry.queries("q46_hash_split")(spark, dir).collect()

@@ -63,7 +63,7 @@ object Bench {
   /** Deterministic bench tile/garden tables, generated once to parquet so
     * benchmark runs measure the engine (parquet scan + join + kernels),
     * not the generator. */
-  private def benchData(spark: SparkSession, sfDir: String): BenchData = {
+  private[graft] def benchData(spark: SparkSession, sfDir: String): BenchData = {
     // sf0.1 runs a 400x1200 extent (480,000 256px jpg tiles): every id
     // is a VALID OSGB code (the synthetic base (400,100) caps a valid
     // grid at 400 wide x 1200 tall; round 2's 576x576 table had only

@@ -186,11 +186,12 @@ object Synthetic {
 
   /** Deterministic jpg tile table (bench tables use this: the format the
     * reference actually reads, at ~1/8 the bytes of the png variant). */
-  def tilesJpg(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L): DataFrame = {
+  def tilesJpg(spark: SparkSession, gridW: Int, gridH: Int, ts: Int, seed: Long = 42L,
+               baseE: Int = BaseE, baseN: Int = BaseN): DataFrame = {
     import spark.implicits._
     spark.range(gridW.toLong * gridH).map { i =>
-      val e = BaseE + (i % gridW).toInt
-      val n = BaseN + (i / gridW).toInt
+      val e = baseE + (i % gridW).toInt
+      val n = baseN + (i / gridW).toInt
       makeTileJpg(e, n, ts, seed)
     }.toDF()
   }
@@ -278,11 +279,12 @@ object Synthetic {
   /** Deterministic garden polygons over the same extent, in EPSG:27700
     * metre coordinates. Mix of simple rings, holed polygons, boundary
     * straddlers and degenerate slivers (FIXTURES.md §1 variants). */
-  def makeGarden(gid: Long, gridW: Int, gridH: Int, seed: Long): GardenRow = {
+  def makeGarden(gid: Long, gridW: Int, gridH: Int, seed: Long,
+                 baseE: Int = BaseE, baseN: Int = BaseN): GardenRow = {
     val h = mix2(seed ^ 0x9a7d, gid)
     // keep centres away from the extent border so covering cells stay inside
-    val cxKm = BaseE + 0.08 + u01(mix2(h, 1)) * (gridW - 0.16)
-    val cyKm = BaseN + 0.08 + u01(mix2(h, 2)) * (gridH - 0.16)
+    val cxKm = baseE + 0.08 + u01(mix2(h, 1)) * (gridW - 0.16)
+    val cyKm = baseN + 0.08 + u01(mix2(h, 2)) * (gridH - 0.16)
     val kind = java.lang.Long.remainderUnsigned(mix2(h, 3), 100L)
 
     val ring: Seq[Seq[Double]] =
@@ -316,9 +318,10 @@ object Synthetic {
     GardenRow(s"osgb1000$gid", uprn, Seq(rings), "urn:ogc:def:crs:EPSG::27700")
   }
 
-  def gardens(spark: SparkSession, count: Long, gridW: Int, gridH: Int, seed: Long = 42L): DataFrame = {
+  def gardens(spark: SparkSession, count: Long, gridW: Int, gridH: Int, seed: Long = 42L,
+              baseE: Int = BaseE, baseN: Int = BaseN): DataFrame = {
     import spark.implicits._
-    spark.range(count).map(gid => makeGarden(gid, gridW, gridH, seed)).toDF()
+    spark.range(count).map(gid => makeGarden(gid, gridW, gridH, seed, baseE, baseN)).toDF()
   }
 
   /** Deterministic text-ish documents are provided by the driver testdata;

@@ -882,11 +882,39 @@ class OperatorsSpec extends AnyFunSuite {
     val star = Seq((100L, 103L), (100L, 101L), (102L, 100L))
     val nodes = ((0L to 49L) ++ (100L to 103L) ++ Seq(999L)).toDF("id")
     val edges = (chain ++ star).toDF("src", "dst")
-    val got = graft.functions.ConnectedComponents.run(nodes, edges)
+    // smallGraph = 0 forces the ITERATIVE path (the auto-gate would take
+    // the single-task union-find at this |V|)
+    val got = graft.functions.ConnectedComponents.run(nodes, edges, smallGraph = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((0L to 49L).forall(got(_) == 0L))
     assert((100L to 103L).forall(got(_) == 100L))
     assert(got(999L) == 999L)
+    // the gated single-task union-find path must label identically
+    val gotLocal = graft.functions.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotLocal == got)
+  }
+
+  test("connected components small-graph gate: one job each way, same labels") {
+    import spark.implicits._
+    // adversarial shapes for union-by-min ordering: a cycle, a component
+    // whose min id arrives LAST in edge order, duplicate + both-orientation
+    // edges, and a singleton
+    val nodes = (Seq(7L, 3L, 9L, 12L, 15L, 20L, 21L, 22L, 1L) :+ 500L).toDF("id")
+    val edges = Seq(
+      (7L, 9L), (9L, 12L), (12L, 7L),          // cycle
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 21L), (21L, 20L), // dups/orientations
+      (15L, 3L), (3L, 1L)                       // min id (1) joins via the tail
+    ).toDF("src", "dst")
+    val local = graft.functions.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val iter = graft.functions.ConnectedComponents.run(nodes, edges, smallGraph = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == iter)
+    assert(local(7L) == 7L && local(9L) == 7L && local(12L) == 7L)
+    assert(Seq(15L, 3L, 1L).forall(local(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(local(_) == 20L))
+    assert(local(500L) == 500L)
   }
 
   test("dedup clusters (q47): transitive chain collapses; agrees with union-find over q24 pairs") {

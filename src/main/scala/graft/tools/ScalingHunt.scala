@@ -73,6 +73,11 @@ object ScalingHunt {
       }
       val quarterPath = sys.env.getOrElse("SPARK_GRAFT_TILES_Q", "data/gen/tilesjpg_g400x300_ts256")
       val nTilesQ = sys.env.getOrElse("SPARK_GRAFT_NTILES_Q", "120000").toLong
+      // SPARK_GRAFT_FAST_PROBE: one timed rep per (level, size) instead of
+      // min-of-2 — halves the Spark-measurement span so a probe fits the
+      // short quiet windows this hypervisor actually delivers (two 0.75+
+      // windows on record collapsed before a min-of-2 probe finished).
+      val nReps = if (sys.env.contains("SPARK_GRAFT_FAST_PROBE")) 1 else 2
       def sizesAt(cpus: Int): (Double, Double, (Long, Long), (Long, Long)) = {
         val s = session(cpus)
         import org.apache.spark.sql.functions._
@@ -86,17 +91,22 @@ object ScalingHunt {
           (row.getAs[Long](0), row.getAs[Long](1))
         }
         val fpF = run(tilesPath); val fpQ = run(quarterPath) // warm both
-        val tF = (1 to 2).map { _ =>
+        val tF = (1 to nReps).map { _ =>
           val t0 = System.nanoTime(); run(tilesPath); (System.nanoTime() - t0) / 1e9
         }.min
-        val tQ = (1 to 2).map { _ =>
+        val tQ = (1 to nReps).map { _ =>
           val t0 = System.nanoTime(); run(quarterPath); (System.nanoTime() - t0) / 1e9
         }.min
         s.stop()
         (tF, tQ, fpF, fpQ)
       }
-      val (t8, t8q, fpF8, fpQ8) = sizesAt(8)
+      // 32-level FIRST: the gate just verified the window is quiet, and
+      // it is the 32-core measurement the hypervisor sabotages — the
+      // 8-core level survives almost every epoch (probe 2 of the 2x-table
+      // hunt collapsed exactly this way: 8-level clean, then the window
+      // closed during the trailing 32-level).
       val (t32, t32q, fpF32, fpQ32) = sizesAt(32)
+      val (t8, t8q, fpF8, fpQ8) = sizesAt(8)
       require(fpF8 == fpF32 && fpQ8 == fpQ32, "output mismatch across parallelism levels")
       val dn = (nTiles - nTilesQ).toDouble
       val w8 = (t8 - t8q) / dn

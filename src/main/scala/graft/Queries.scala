@@ -1333,6 +1333,79 @@ object Queries {
       |       CAST(l.doc_id = l.cluster_id AS INTEGER) AS keep
       |FROM lab l JOIN sz s USING (cluster_id) ORDER BY 1""".stripMargin
 
+  /** Training-sequence packing (GPT-style): concatenate the corpus token
+    * stream in doc_id order and cut it every `seqLen` tokens; each doc
+    * reports its global start offset and the first/last sequence it
+    * lands in. The global running token total comes from
+    * [[graft.functions.PrefixSum]] — a two-pass distributed scan
+    * (range-bucket local cumsums + O(P) broadcast offsets) instead of
+    * the single-partition `Window.orderBy` that would serialize the
+    * whole corpus through one task. At 100 TB this is the step that
+    * turns a filtered corpus into fixed-length training rows. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512L
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // `div`, not `/`: Spark's `/` is double division, which drops token
+    // offsets past 2^53 — a real corpus overflows that
+    graft.functions.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "running")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("running") - col("n_tokens")).as("start_offset"),
+        expr(s"(running - n_tokens) div ${seqLen}L").as("seq_first"),
+        expr(s"(running - 1) div ${seqLen}L").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  private val o50 =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |run AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS running
+      |  FROM toks)
+      |SELECT doc_id, n_tokens,
+      |       running - n_tokens AS start_offset,
+      |       (running - n_tokens) // 512 AS seq_first,
+      |       (running - 1) // 512 AS seq_last
+      |FROM run ORDER BY 1""".stripMargin
+
+  /** Tokenizer-vocabulary coverage: build the top-V corpus vocabulary by
+    * global word frequency (count desc, word asc — fully deterministic)
+    * and score every document's out-of-vocabulary token count — the
+    * coverage filter run before committing to a tokenizer. Shapes: the
+    * word-count groupBy partial-aggregates map-side; top-V is a V-row
+    * driver-bounded limit that BROADCASTS back; the corpus side then
+    * streams map-only through the membership probe, and the only other
+    * exchange is the per-doc count agg. V is a knob, never data-sized. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val vocabSize = 24
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  private val o51 =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (
+      |  SELECT word FROM (
+      |    SELECT word, count(*) AS cnt,
+      |           row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rn
+      |    FROM words GROUP BY word) WHERE rn <= 24)
+      |SELECT w.doc_id, count(*) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM words w LEFT JOIN vocab v ON w.word = v.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1391,7 +1464,9 @@ object Queries {
     "q46_hash_split" -> (q46 _),
     "q47_dedup_clusters" -> (q47 _),
     "q48_redact_pii" -> (q48 _),
-    "q49_stratified_sample" -> (q49 _)
+    "q49_stratified_sample" -> (q49 _),
+    "q50_pack_sequences" -> (q50 _),
+    "q51_vocab_oov" -> (q51 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1443,6 +1518,8 @@ object Queries {
     "q46_hash_split" -> o46,
     "q47_dedup_clusters" -> o47,
     "q48_redact_pii" -> o48,
-    "q49_stratified_sample" -> o49
+    "q49_stratified_sample" -> o49,
+    "q50_pack_sequences" -> o50,
+    "q51_vocab_oov" -> o51
   )
 }

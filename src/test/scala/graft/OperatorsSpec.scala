@@ -1020,4 +1020,57 @@ class OperatorsSpec extends AnyFunSuite {
     val byText = a.groupBy(_._1 % 16).values
     assert(byText.forall(g => g.map(_._2).distinct.size == 1))
   }
+
+  test("PrefixSum: equals the single-window cumsum; no SinglePartition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse, unordered, duplicate-free keys; values incl. zeros
+    val rows = Seq((7L, 3L), (1L, 0L), (100L, 5L), (42L, 2L), (3L, 7L),
+      (55L, 1L), (2L, 4L), (99L, 0L), (64L, 6L), (13L, 9L))
+    val df = rows.toDF("k", "v").repartition(4)
+    val got = graft.functions.PrefixSum.runningTotal(df, "k", "v", "run", buckets = 3)
+      .select("k", "run").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("run", sum("v").over(Window.orderBy("k")))
+      .select("k", "run").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the distributed scan must not plan the single-task global window
+    val plan = graft.functions.PrefixSum.runningTotal(df, "k", "v", "run", buckets = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global-window bottleneck:\n$plan")
+    // empty input: null column, no crash
+    val empty = spark.emptyDataFrame.withColumn("k", lit(1L)).withColumn("v", lit(1L)).where(lit(false))
+    assert(graft.functions.PrefixSum.runningTotal(empty, "k", "v", "run").count() == 0)
+  }
+
+  test("pack sequences (q50): offsets are a prefix sum; boundary docs span sequences") {
+    val dir = writeDocs((0L until 40L).map(i =>
+      (i * 3, ((0 until (i.toInt % 7) * 30 + 1).map(j => s"w$j")).mkString(" "))))
+    val rs = SparkEntry.queries("q50_pack_sequences")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // contiguity: each doc starts where the previous ended
+    rs.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}") }
+    // seq ids are the 512-token cuts of [start, start+n)
+    assert(rs.forall { case (_, n, off, f, l) =>
+      f == off / 512 && l == (off + n - 1) / 512 && l >= f })
+    // with 30..181-token docs a boundary-spanning doc must exist
+    assert(rs.exists { case (_, _, _, f, l) => l > f })
+  }
+
+  test("vocab OOV (q51): top-V tie-break deterministic, counts exact, vocab broadcast") {
+    // "aa" x3, "bb" x3, "cc" x2, singles — with V=24 all words of this tiny
+    // corpus are in-vocab except the 25th+ ranked; craft 26 distinct words
+    val text0 = "aa aa aa bb bb bb cc cc " + (1 to 24).map(i => f"w$i%02d").mkString(" ")
+    val dir = writeDocs(Seq((0L, text0), (1L, "aa bb zz")))
+    val df = SparkEntry.queries("q51_vocab_oov")(spark, dir)
+    val rs = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: 32 tokens; vocab = aa,bb,cc + 21 of w01..w24 (count 1, word asc
+    // keeps w01..w21) -> OOV = w22,w23,w24 = 3
+    assert(rs(0L) == ((32L, 3L)))
+    // doc 1: aa,bb in vocab; zz (count 1) sorts after w21 -> OOV = 1
+    assert(rs(1L) == ((3L, 1L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$plan")
+  }
 }

@@ -197,7 +197,8 @@ object Bench {
       "q41_asof_join", "q42_range_join", "q43_repetition", "q44_keywords",
       "q45_decontaminate", "q46_hash_split", "q47_dedup_clusters",
       "q48_redact_pii", "q49_stratified_sample", "q50_pack_sequences",
-      "q51_vocab_oov")
+      "q51_vocab_oov", "q52_zorder", "q53_decontaminate_bloom",
+      "q54_mixture_upsample")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

@@ -1406,6 +1406,141 @@ object Queries {
       |FROM words w LEFT JOIN vocab v ON w.word = v.word
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-order (Morton) spatial layout key ([[graft.index.ZOrder]]): the
+    * data-LAYOUT half of the 100 TB tile-catalog story — write the
+    * catalog range-partitioned + sorted on this key and parquet min/max
+    * stats prune any 2-D bounding-box scan to O(perimeter) files. Pure
+    * shift/AND/OR column arithmetic (whole-stage codegen, zero shuffle
+    * beyond the presentation sort); the oracle re-derives the magic-number
+    * bit spreading in DuckDB 64-bit integer SQL. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val en = t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 700).cast("long").as("e"),
+        (col("l_partkey") % 1300).cast("long").as("n"))
+      .distinct()
+    en.select(col("e"), col("n"),
+        graft.index.ZOrder.key(col("e"), col("n")).as("zkey"))
+      .orderBy("zkey", "e", "n")
+  }
+
+  private val o52 =
+    """WITH en AS (
+      |  SELECT DISTINCT CAST(l_orderkey % 700 AS BIGINT) AS e,
+      |                  CAST(l_partkey % 1300 AS BIGINT) AS n
+      |  FROM lineitem),
+      |s1 AS (SELECT e, n, ((e | (e << 8)) & 16711935) AS ex,
+      |                    ((n | (n << 8)) & 16711935) AS nx FROM en),
+      |s2 AS (SELECT e, n, ((ex | (ex << 4)) & 252645135) AS ex,
+      |                    ((nx | (nx << 4)) & 252645135) AS nx FROM s1),
+      |s3 AS (SELECT e, n, ((ex | (ex << 2)) & 858993459) AS ex,
+      |                    ((nx | (nx << 2)) & 858993459) AS nx FROM s2),
+      |s4 AS (SELECT e, n, ((ex | (ex << 1)) & 1431655765) AS ex,
+      |                    ((nx | (nx << 1)) & 1431655765) AS nx FROM s3)
+      |SELECT e, n, (ex | (nx << 1)) AS zkey FROM s4 ORDER BY 3, 1, 2""".stripMargin
+
+  /** Benchmark decontamination, BLOOM-accelerated ([[graft.functions.Bloom]]):
+    * q45's exact semantics with the 100 TB plan — a ~1.2 byte/key bloom
+    * filter of the test-set gram hashes probes every corpus gram MAP-SIDE
+    * (native codegen'd expression) and drops ~99% of rows before any
+    * exchange; the surviving sliver then takes the exact confirm join, so
+    * false positives never reach the output. The answer is identical to
+    * the plain join by construction (no false negatives) — o53 is the
+    * same SQL as o45 over the wider 60-bit gram hash, with no bloom in
+    * sight. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 5),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))""".stripMargin)).as("ng"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("h"))
+    val testGrams = grams.where(col("doc_id") % 20 === 0).select("h").distinct()
+    val bf = graft.functions.Bloom.filterOf(testGrams, "h", fpp = 0.01)
+    val hits = grams.where(col("doc_id") % 20 =!= 0)
+      .where(graft.functions.Bloom.mightContain(col("h"), bf))
+      .join(broadcast(testGrams), "h")
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+    docs.where(col("doc_id") % 20 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val o53 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id,
+      |              unnest(list_transform(range(1, len(ws) - 3),
+      |                     i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS ng
+      |       FROM t WHERE len(ws) >= 5),
+      |g AS (SELECT doc_id, CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) AS h FROM g0),
+      |test AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+      |hits AS (SELECT doc_id, count(DISTINCT h) AS n_shared
+      |         FROM g JOIN test USING (h) WHERE doc_id % 20 != 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |       CAST(coalesce(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 20 != 0 ORDER BY 1""".stripMargin
+
+  /** Mixture upsampling: replicate each document a deterministic
+    * FRACTIONAL number of times per language stratum (en 1.0×, fr 2.5×,
+    * de 3.25×) — the domain-reweighting step of training-corpus assembly
+    * (e.g. upweighting a high-quality source). copies = floor(w) + one
+    * extra iff the salted content hash falls under frac(w): map-only
+    * projection + explode, no shuffle, and re-runs/re-shards/appends
+    * replicate the same documents by construction. The salt decorrelates
+    * this hash from q46's split and q49's sampling hashes, so the three
+    * decisions are independent. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    def hits(words: Seq[String]): Column =
+      words.map(wd => size(split(low, s"\\b$wd\\b")) - 1).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val fr = hits(Seq("le", "la", "et", "est"))
+    val de = hits(Seq("der", "und", "die", "ist"))
+    val lang = when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de")
+    val u = (conv(substring(md5(concat(lit("mix|"), col("text"))), 1, 6), 16, 10)
+      .cast("long") % 10000).cast("int")
+    val base = when(lang === "en", 1).when(lang === "fr", 2).otherwise(3)
+    val thr = when(lang === "en", 0).when(lang === "fr", 5000).otherwise(2500)
+    val copies = (base + (u < thr).cast("int")).as("n_copies")
+    t(s, dir, "documents")
+      .select(col("doc_id"), lang.as("lang_guess"), copies)
+      .select(col("doc_id"), col("lang_guess"), col("n_copies"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  private val o54 =
+    """WITH l AS (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(lower(text), '\bthe\b')) - 1 + len(string_split_regex(lower(text), '\band\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bof\b')) - 1 + len(string_split_regex(lower(text), '\bis\b')) - 1 AS en_hits,
+      |    len(string_split_regex(lower(text), '\ble\b')) - 1 + len(string_split_regex(lower(text), '\bla\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bet\b')) - 1 + len(string_split_regex(lower(text), '\best\b')) - 1 AS fr_hits,
+      |    len(string_split_regex(lower(text), '\bder\b')) - 1 + len(string_split_regex(lower(text), '\bund\b')) - 1
+      |      + len(string_split_regex(lower(text), '\bdie\b')) - 1 + len(string_split_regex(lower(text), '\bist\b')) - 1 AS de_hits
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |              WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess,
+      |         CAST(CAST(('0x' || substr(md5('mix|' || text), 1, 6)) AS BIGINT) % 10000 AS INTEGER) AS u
+      |  FROM l),
+      |c AS (
+      |  SELECT doc_id, lang_guess,
+      |         (CASE lang_guess WHEN 'en' THEN 1 WHEN 'fr' THEN 2 ELSE 3 END)
+      |           + CASE WHEN u < (CASE lang_guess WHEN 'en' THEN 0 WHEN 'fr' THEN 5000 ELSE 2500 END)
+      |                  THEN 1 ELSE 0 END AS n_copies
+      |  FROM g)
+      |SELECT doc_id, lang_guess, n_copies,
+      |       CAST(unnest(range(n_copies)) AS INTEGER) AS copy_idx
+      |FROM c ORDER BY 1, 4""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1466,7 +1601,10 @@ object Queries {
     "q48_redact_pii" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
     "q50_pack_sequences" -> (q50 _),
-    "q51_vocab_oov" -> (q51 _)
+    "q51_vocab_oov" -> (q51 _),
+    "q52_zorder" -> (q52 _),
+    "q53_decontaminate_bloom" -> (q53 _),
+    "q54_mixture_upsample" -> (q54 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1520,6 +1658,9 @@ object Queries {
     "q48_redact_pii" -> o48,
     "q49_stratified_sample" -> o49,
     "q50_pack_sequences" -> o50,
-    "q51_vocab_oov" -> o51
+    "q51_vocab_oov" -> o51,
+    "q52_zorder" -> o52,
+    "q53_decontaminate_bloom" -> o53,
+    "q54_mixture_upsample" -> o54
   )
 }

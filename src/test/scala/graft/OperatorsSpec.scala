@@ -1073,4 +1073,102 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$plan")
   }
+
+  test("z-order key (q52): column arithmetic equals the bit-by-bit reference; bijective") {
+    import graft.index.ZOrder
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val coords = Seq.tabulate(512)(_ => (rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (700, 1300))
+    val got = coords.toDF("e", "n")
+      .select($"e", $"n", ZOrder.key($"e".cast("long"), $"n".cast("long")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    coords.foreach { case (e, n) =>
+      assert(got((e, n)) == ZOrder.keyRef(e, n), s"mismatch at ($e, $n)")
+    }
+    assert(got.values.toSet.size == got.size) // bijective on distinct coords
+    // locality: key of a cell and its +1 neighbours differ only below the
+    // next power-of-4 boundary — spot-check the defining recursive split:
+    // all cells of a 2^k-aligned square share the key's high bits
+    val base = ZOrder.keyRef(0x1200, 0x0400)
+    for (de <- 0 until 16; dn <- 0 until 16)
+      assert((ZOrder.keyRef(0x1200 + de, 0x0400 + dn) >> 8) == (base >> 8))
+  }
+
+  test("bloom decontamination (q53): equals q45 exactly; bloom probe is map-side pre-exchange") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (20L, "one two three four five six"),
+      (21L, "xx alpha beta gamma delta epsilon yy"),
+      (22L, "one two three four nope"),
+      (23L, "two three"),
+      (24L, "totally different words here with no overlap at all"),
+      (25L, "two three four five six seven"))
+    val dir = writeDocs(docs)
+    val bloomed = SparkEntry.queries("q53_decontaminate_bloom")(spark, dir)
+    val plain = SparkEntry.queries("q45_decontaminate")(spark, dir)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getInt(2))
+    assert(bloomed.collect().map(key).toSeq == plain.collect().map(key).toSeq)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin")) // exact confirm join broadcasts
+    // the probe must sit BELOW the first exchange (map-side): in the plan
+    // string the filter's first occurrence is deeper than every Exchange
+    val probeAt = plan.indexOf("graft_bloom_might_contain")
+    val firstAggExchange = plan.indexOf("Exchange hashpartitioning(doc_id")
+    assert(firstAggExchange == -1 || probeAt > firstAggExchange,
+      "bloom probe is not below the doc_id aggregation exchange")
+  }
+
+  test("bloom filter: no false negatives by construction; fpp in spec on longs") {
+    import spark.implicits._
+    val members = (0L until 5000L).map(i => i * 2654435761L % 1000003L).distinct
+    val bf = graft.functions.Bloom.filterOf(members.toDF("h"), "h", fpp = 0.01)
+    members.foreach(v => assert(bf.mightContainLong(v), s"false negative on $v"))
+    val mset = members.toSet
+    val probes = (1L to 200000L).map(_ + 2000000L).filterNot(mset.contains)
+    val fp = probes.count(bf.mightContainLong).toDouble / probes.size
+    assert(fp < 0.03, s"observed fpp $fp far above the 0.01 target")
+    // expression path (interpreted + codegen) agrees with the direct call
+    val viaExpr = members.take(64).toDF("h")
+      .select(graft.functions.Bloom.mightContain($"h", bf).as("m"))
+      .collect().forall(_.getBoolean(0))
+    assert(viaExpr)
+  }
+
+  test("mixture upsample (q54): per-language fractional copies, deterministic, md5-checked") {
+    // en docs dominated by 'the/and/of/is'; fr by 'le/la/et/est'; de by 'der/und/die/ist'
+    val docs = Seq(
+      (0L, "the cat and the dog of the house is here"),
+      (1L, "le chat et la maison est grande le jour"),
+      (2L, "der hund und die katze ist der beste"),
+      (3L, "le vin et la mer est belle et calme"))
+    val dir = writeDocs(docs)
+    val df = SparkEntry.queries("q54_mixture_upsample")(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // every doc appears exactly n_copies times with copy_idx 0..n-1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val n = rs.head._3
+      assert(rs.length == n && rs.map(_._4).sorted.toSeq == (0 until n))
+    }
+    val byDoc = rows.groupBy(_._1).map { case (id, rs) => id -> ((rs.head._2, rs.head._3)) }
+    assert(byDoc(0L)._1 == "en" && byDoc(0L)._2 == 1) // en never upsamples
+    assert(Seq(2, 3).contains(byDoc(1L)._2) && byDoc(1L)._1 == "fr")
+    assert(Seq(3, 4).contains(byDoc(2L)._2) && byDoc(2L)._1 == "de")
+    // independent md5 replication of the fractional coin for the fr docs
+    def u(text: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("mix|" + text).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 6)
+      (java.lang.Long.parseLong(hex, 16) % 10000L).toInt
+    }
+    assert(byDoc(1L)._2 == 2 + (if (u(docs(1)._2) < 5000) 1 else 0))
+    assert(byDoc(3L)._2 == 2 + (if (u(docs(3)._2) < 5000) 1 else 0))
+    assert(byDoc(2L)._2 == 3 + (if (u(docs(2)._2) < 2500) 1 else 0))
+    // determinism: a second run replicates the exact multiset
+    val again = SparkEntry.queries("q54_mixture_upsample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
 }

@@ -63,6 +63,47 @@ object TileBuckets {
   def read(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
 }
 
+/** Z-ordered tile-table layout: the RANGE-layout write path, complementing
+  * [[TileBuckets]] (hash layout for co-located joins). Rows are clustered
+  * by the Morton key of their grid cell ([[graft.index.ZOrder]]) —
+  * `repartitionByRange + sortWithinPartitions` on the key — so each
+  * parquet file covers a COMPACT 2-D region. Any bounding-box scan then
+  * prunes on the per-file/row-group min/max statistics of the plain
+  * cell_e/cell_n columns (no curve arithmetic in the reader): a narrow
+  * strip query that would intersect EVERY file of a column-major layout
+  * touches O(perimeter/blockside) files here — the OperatorsSpec pruning
+  * test pins 4/16 vs 16/16 on exactly that adversarial strip. This is
+  * what Delta/Iceberg `OPTIMIZE ZORDER BY` does; at 100 TB it is the
+  * difference between a city-bbox scan reading hundreds of files or the
+  * whole national table. */
+object TileLayout {
+
+  /** Write `tiles` (input_hint schema) z-order-clustered into nFiles
+    * range partitions, with explicit cell_e/cell_n columns for the
+    * reader's min/max pruning. 16-bit coordinates (the full OSGB grid is
+    * 700×1300 km-cells; web-mercator beyond zoom 16 needs a wider
+    * spread). */
+  def writeZOrdered(tiles: DataFrame, path: String, nFiles: Int,
+                    webMercatorZoom: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, shiftright}
+    val cellCol = webMercatorZoom match {
+      case Some(z) => graft.pipeline.Exprs.col(
+        graft.pipeline.SlippyKeyToCell(graft.pipeline.Exprs.expr(col("image_id")), z))
+      case None => graft.pipeline.VegPipeline.tileCell(col("image_id"))
+    }
+    tiles.withColumn("cell", cellCol)
+      .where(col("cell").isNotNull)
+      // CellIndex packing: cell = (e << 31) | n
+      .withColumn("cell_e", shiftright(col("cell"), 31).cast("int"))
+      .withColumn("cell_n", col("cell").bitwiseAND(lit(0x7fffffffL)).cast("int"))
+      .withColumn("zkey",
+        graft.index.ZOrder.key(col("cell_e").cast("long"), col("cell_n").cast("long")))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}
+
 /** C2: secondary disk cache for re-scanned tile sets (the reference
   * caches downloaded web-mercator tiles on local disk keyed by tile
   * path, so a second analysis run never re-fetches,

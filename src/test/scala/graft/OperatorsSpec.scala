@@ -1095,6 +1095,46 @@ class OperatorsSpec extends AnyFunSuite {
       assert((ZOrder.keyRef(0x1200 + de, 0x0400 + dn) >> 8) == (base >> 8))
   }
 
+  test("z-order layout: adversarial strip bbox prunes to few files; column-major layout cannot") {
+    import graft.sources.TileLayout
+    // 32x32 grid of tiny tiles -> 16 files. Adversarial bbox: the full-width
+    // bottom strip (n in [100,103]) — a cell-sorted (e-major) layout puts a
+    // piece of EVERY e-column in every file's n-range, so nothing prunes.
+    val tiles = Synthetic.tiles(spark, 32, 32, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    TileLayout.writeZOrdered(tiles, s"$dir/z", nFiles = 16)
+    val zdf = spark.read.parquet(s"$dir/z")
+    // layout did not lose or duplicate rows, and the key is the Morton code
+    assert(zdf.count() == 32 * 32)
+    val bad = zdf.where(col("zkey") =!=
+      graft.index.ZOrder.key(col("cell_e").cast("long"), col("cell_n").cast("long"))).count()
+    assert(bad == 0)
+    def matchingFiles(df: org.apache.spark.sql.DataFrame,
+                      eLo: Int, eHi: Int, nLo: Int, nHi: Int): Long =
+      df.groupBy(input_file_name().as("f"))
+        .agg(min("cell_e").as("e0"), max("cell_e").as("e1"),
+          min("cell_n").as("n0"), max("cell_n").as("n1"))
+        .where(col("e1") >= eLo && col("e0") <= eHi &&
+          col("n1") >= nLo && col("n0") <= nHi)
+        .count()
+    // synthetic grid bases at (400, 100)
+    // the strip lives in 4 aligned 8x8 Morton blocks; quantile-sampled range
+    // boundaries can straddle each block across two files -> at most 8
+    val zHit = matchingFiles(zdf, 400, 431, 100, 103)
+    assert(zHit <= 8, s"z-order layout should prune the strip to a few files, got $zHit/16")
+    // control: same table range-laid-out by the PACKED cell (e-major)
+    val cellSorted = zdf.drop("zkey")
+      .repartitionByRange(16, col("cell")).sortWithinPartitions("cell")
+    cellSorted.write.mode("overwrite").parquet(s"$dir/em")
+    val emHit = matchingFiles(spark.read.parquet(s"$dir/em"), 400, 431, 100, 103)
+    assert(emHit >= 14, s"e-major control should match nearly all files, got $emHit/16")
+    // both layouts return identical bbox rows
+    def bbox(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.where(col("cell_e").between(400, 431) && col("cell_n").between(100, 103))
+        .select("image_id").collect().map(_.getString(0)).toSet
+    assert(bbox(zdf) == bbox(spark.read.parquet(s"$dir/em")) && bbox(zdf).size == 32 * 4)
+  }
+
   test("bloom decontamination (q53): equals q45 exactly; bloom probe is map-side pre-exchange") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta"),

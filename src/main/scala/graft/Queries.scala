@@ -1541,6 +1541,57 @@ object Queries {
       |       CAST(unnest(range(n_copies)) AS INTEGER) AS copy_idx
       |FROM c ORDER BY 1, 4""".stripMargin
 
+  /** The synthetic tile table's per-image quality statistics
+    * ([[graft.media.ImageQualityStats]]: exposure / contrast /
+    * variance-of-Laplacian blur score) — pure projection; written to
+    * [[Sidecars.imageStatsPath]] by Verify's setup so the q55 oracle can
+    * verify the FILTER algebra over the exact engine-computed statistics
+    * (no SQL engine can decode the tiles; the kernel itself is pinned by
+    * hand-computed unit goldens). Deterministic fp: single sequential
+    * accumulation pass per image. */
+  private[graft] def imageStatsBase(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val (gw, gh, _) = syntheticScale(dir)
+    Synthetic.tiles(s, gw, gh, 64)
+      .select(col("image_id"),
+        ec(graft.media.ImageQualityStats(ee(col("bytes")))).as("st"))
+      .select(col("image_id"), col("st.mean_lum").as("mean_lum"),
+        col("st.contrast").as("contrast"), col("st.sharpness").as("sharpness"))
+  }
+
+  /** Image-quality curation filter: flag under/over-exposed, flat and
+    * blurry captures and emit the keep decision — the image-modality
+    * analogue of q13's text quality score. Map-only over the decode
+    * projection (the stats expression rides the same shared decode pass
+    * as the other per-tile ops). The blur/contrast thresholds sit inside
+    * the synthetic table's real spread (sharpness 1000-1350, contrast
+    * 7.2-8.2) so both outcomes occur at every scale factor; the exposure
+    * flags keep standard absolute semantics (a well-exposed synthetic
+    * corpus rightly never trips them — the kernel's response to dark/
+    * bright inputs is pinned by the KernelSpec goldens instead). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    imageStatsBase(s, dir).select(col("image_id"),
+        (col("sharpness") < 1100.0).cast("int").as("blurry"),
+        (col("mean_lum") < 90.0).cast("int").as("too_dark"),
+        (col("mean_lum") > 170.0).cast("int").as("too_bright"),
+        (col("contrast") < 7.5).cast("int").as("low_contrast"))
+      .withColumn("keep",
+        (col("blurry") + col("too_dark") + col("too_bright") + col("low_contrast") === 0)
+          .cast("int"))
+      .orderBy("image_id")
+
+  private lazy val o55 =
+    s"""SELECT image_id,
+       |       CAST(sharpness < 1100.0 AS INTEGER) AS blurry,
+       |       CAST(mean_lum < 90.0 AS INTEGER) AS too_dark,
+       |       CAST(mean_lum > 170.0 AS INTEGER) AS too_bright,
+       |       CAST(contrast < 7.5 AS INTEGER) AS low_contrast,
+       |       CAST(CAST(sharpness < 1100.0 AS INTEGER) + CAST(mean_lum < 90.0 AS INTEGER)
+       |            + CAST(mean_lum > 170.0 AS INTEGER) + CAST(contrast < 7.5 AS INTEGER) = 0
+       |            AS INTEGER) AS keep
+       |FROM read_parquet('${Sidecars.imageStatsPath}/*.parquet')
+       |ORDER BY 1""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1604,7 +1655,8 @@ object Queries {
     "q51_vocab_oov" -> (q51 _),
     "q52_zorder" -> (q52 _),
     "q53_decontaminate_bloom" -> (q53 _),
-    "q54_mixture_upsample" -> (q54 _)
+    "q54_mixture_upsample" -> (q54 _),
+    "q55_image_quality" -> (q55 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1661,6 +1713,7 @@ object Queries {
     "q51_vocab_oov" -> o51,
     "q52_zorder" -> o52,
     "q53_decontaminate_bloom" -> o53,
-    "q54_mixture_upsample" -> o54
+    "q54_mixture_upsample" -> o54,
+    "q55_image_quality" -> o55
   )
 }

@@ -28,6 +28,7 @@ object Sidecars {
   val veg34MetaPath = s"$root/veg34_meta.parquet"
   val veg35FragsPath = s"$root/veg35_frags.parquet"
   val veg35MetaPath = s"$root/veg35_meta.parquet"
+  val imageStatsPath = s"$root/tiles_image_stats.parquet"
   val framePixelsPath = s"$root/media_frame_pixels.parquet"
   val audioSamplesPath = s"$root/media_audio_samples.parquet"
 
@@ -35,6 +36,9 @@ object Sidecars {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
     Queries.phashBase(s, dir).coalesce(1)
       .write.mode("overwrite").parquet(phashPath)
+    // q55: per-image quality statistics (exposure/contrast/blur score)
+    Queries.imageStatsBase(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(imageStatsPath)
     // q32/q33: the flagship per-garden frame (same config as the queries)
     Queries.flagshipFrame(s, dir)
       .select("id", "uprn", "cx", "cy", "area_m2", "npix", "frac_greenleaf")

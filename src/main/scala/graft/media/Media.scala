@@ -190,6 +190,25 @@ case class AudioFeatures(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** image_quality_stats(bytes) -> struct(mean_lum, contrast, sharpness)
+  * ([[graft.img.Quality.stats]]): the per-image curation statistics of a
+  * training-data image filter (exposure / contrast / variance-of-
+  * Laplacian blur score). Corrupt payloads null out instead of failing
+  * the job, like the other media expressions. */
+case class ImageQualityStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mean_lum", DoubleType, nullable = false),
+    StructField("contrast", DoubleType, nullable = false),
+    StructField("sharpness", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    try {
+      val s = graft.img.Quality.stats(Codec.decodeBGR(v.asInstanceOf[Array[Byte]]))
+      InternalRow(s.meanLum, s.contrast, s.sharpness)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** resize_frame(png, w, h) -> png (area-average). */
 case class ResizeFrame(child: Expression, w: Int, h: Int)
     extends UnaryExpression with CodegenFallback {

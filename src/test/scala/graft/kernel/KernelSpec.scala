@@ -210,6 +210,49 @@ class KernelSpec extends AnyFunSuite {
     assert(back.data.sameElements(data))
   }
 
+  test("image quality stats: hand-computed exposure/contrast/Laplacian goldens") {
+    import graft.img.Quality
+    def gray(vals: Seq[Int], w: Int, h: Int): Raster =
+      Raster(vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray, w, h, 3)
+    // constant image: mean = v, zero contrast, zero sharpness
+    val flat = Quality.stats(gray(Seq.fill(16)(77), 4, 4))
+    assert(flat.meanLum == 77.0 && flat.contrast == 0.0 && flat.sharpness == 0.0)
+    // linear vertical gradient: Laplacian of a linear ramp is 0 everywhere
+    val grad = Quality.stats(gray((0 until 4).flatMap(y => Seq.fill(4)(y * 10)), 4, 4))
+    assert(grad.meanLum == 15.0)
+    assert(math.abs(grad.contrast - math.sqrt(125.0)) < 1e-12)
+    assert(grad.sharpness == 0.0)
+    // single bright interior pixel at (x=1,y=1)=100:
+    // L over interior = {400, -100, -100, 0} -> mean 50, var 42500
+    val spike = Quality.stats(gray(
+      (0 until 16).map(i => if (i == 1 * 4 + 1) 100 else 0), 4, 4))
+    assert(math.abs(spike.meanLum - 6.25) < 1e-12)
+    assert(math.abs(spike.sharpness - 42500.0) < 1e-9)
+    assert(math.abs(spike.contrast - math.sqrt(10000.0 / 16 - 6.25 * 6.25)) < 1e-12)
+    // pure-luminance weights: a saturated-red constant image reads 76.245
+    val red = Raster(Array.fill[Byte](4 * 4 * 3)(0), 4, 4, 3)
+    (0 until 16).foreach(i => red.data(i * 3 + 2) = 255.toByte)
+    assert(math.abs(Quality.stats(red).meanLum - 299 * 255 / 1000.0) < 1e-12)
+    // q55's absolute exposure thresholds respond to genuinely bad captures
+    assert(Quality.stats(gray(Seq.fill(16)(30), 4, 4)).meanLum < 90.0)   // too_dark
+    assert(Quality.stats(gray(Seq.fill(16)(220), 4, 4)).meanLum > 170.0) // too_bright
+  }
+
+  test("ImageQualityStats expression: equals the kernel over a PNG; corrupt bytes null out") {
+    val rnd = new scala.util.Random(11)
+    val data = Array.fill[Byte](8 * 8 * 3)(rnd.nextInt(256).toByte)
+    val r = Raster(data, 8, 8, 3)
+    val want = graft.img.Quality.stats(r)
+    val expr = graft.media.ImageQualityStats(
+      org.apache.spark.sql.catalyst.expressions.Literal(Codec.encodePNG(r)))
+    val row = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getDouble(0) == want.meanLum && row.getDouble(1) == want.contrast &&
+      row.getDouble(2) == want.sharpness)
+    val corrupt = graft.media.ImageQualityStats(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1, 2, 3)))
+    assert(corrupt.eval(null) == null)
+  }
+
   test("codec: CIR fusion picks channel 2 as Ir and stacks BGRI (image_loaders.py:362-386)") {
     // rgb tile 2x2 constant blue; cir tile 2x2 with channel2 = 9
     val rgb = Raster(Array.fill[Byte](2 * 2 * 3)(0), 2, 2, 3)

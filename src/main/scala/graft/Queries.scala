@@ -326,6 +326,17 @@ object Queries {
       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming exact dedup (watermark-bounded state, append mode) —
+    * output equals batch SELECT DISTINCT by construction; see
+    * [[graft.streaming.Streams.dedupedEventKeys]]. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.dedupedEventKeys(s, s"$dir/events.parquet")
+
+  private val o56 =
+    """SELECT DISTINCT user_id, event_type,
+      |       time_bucket(INTERVAL '1 hour', ts) AS hr
+      |FROM events ORDER BY 1, 2, 3""".stripMargin
+
   /** Streaming per-user sessionization (event-time session windows,
     * 4-hour gap) — declarative session_window; the custom-state
     * flatMapGroupsWithState formulation is unit-tested equal
@@ -1656,7 +1667,8 @@ object Queries {
     "q52_zorder" -> (q52 _),
     "q53_decontaminate_bloom" -> (q53 _),
     "q54_mixture_upsample" -> (q54 _),
-    "q55_image_quality" -> (q55 _)
+    "q55_image_quality" -> (q55 _),
+    "q56_stream_dedup" -> (q56 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1714,6 +1726,7 @@ object Queries {
     "q52_zorder" -> o52,
     "q53_decontaminate_bloom" -> o53,
     "q54_mixture_upsample" -> o54,
-    "q55_image_quality" -> o55
+    "q55_image_quality" -> o55,
+    "q56_stream_dedup" -> o56
   )
 }

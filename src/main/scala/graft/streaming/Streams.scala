@@ -99,6 +99,32 @@ object Streams extends Serializable {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streaming exact deduplication: watermarked `dropDuplicates` over a
+    * key projection — the streaming-INGEST half of the exact-dedup
+    * operator family (q11 is the batch half). State holds one entry per
+    * key and EVICTS keys older than the watermark, so memory is bounded
+    * by the dedup horizon, not the stream length — the shape that
+    * ingests a 100 TB/day event firehose without unbounded state. The
+    * projection keeps ONLY the key columns (with the hour-truncated
+    * event time itself a key member), so the surviving row is
+    * arrival-order-INDEPENDENT and the output equals batch
+    * `SELECT DISTINCT` exactly (the o56 oracle). Append-mode sink:
+    * rows emit once their key can no longer receive duplicates. */
+  def dedupedEventKeys(spark: SparkSession, eventsPath: String): DataFrame = {
+    val static = spark.read.parquet(eventsPath)
+    val stream = spark.readStream.schema(static.schema).parquet(stageDir(eventsPath))
+    val dedup = stream
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts").cast("timestamp")).as("hr"))
+      .withWatermark("hr", "1 hour")
+      .dropDuplicates()
+    val sinkName = "graft_dedup_events"
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_type", "hr")
+  }
+
   /** Per-user streaming sessionization via the DECLARATIVE session
     * window (gap-merged event-time sessions): two events share a session
     * iff their gap is strictly under `gap`; session end = last event +

@@ -680,6 +680,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("streaming dedup (q56): equals batch SELECT DISTINCT; state bounded by watermark key") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = Streams.dedupedEventKeys(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+    val batch = spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts").cast("timestamp")).as("hr"))
+      .distinct().orderBy("user_id", "event_type", "hr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // a second run is deterministic (arrival order cannot leak into the
+    // output because the projection is exactly the key)
+    val again = Streams.dedupedEventKeys(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+    assert(again == streamed)
+  }
+
   test("sessionization: flatMapGroupsWithState custom state equals declarative session_window") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

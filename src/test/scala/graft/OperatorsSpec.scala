@@ -1008,9 +1008,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._2).distinct.size == 3)  // every stratum sampled
   }
 
-  test("map-only corpus ops (q46/q48/q49): no joins, only the presentation-sort exchange") {
+  test("map-only corpus ops (q46/q48/q49/q54): no joins, only the presentation-sort exchange") {
     val dir = writeDocs((0L until 32L).map(i => (i, s"the words of document $i and more")))
-    for (q <- Seq("q46_hash_split", "q48_redact_pii", "q49_stratified_sample")) {
+    for (q <- Seq("q46_hash_split", "q48_redact_pii", "q49_stratified_sample",
+        "q54_mixture_upsample")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

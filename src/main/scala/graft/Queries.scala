@@ -1603,6 +1603,62 @@ object Queries {
        |FROM read_parquet('${Sidecars.imageStatsPath}/*.parquet')
        |ORDER BY 1""".stripMargin
 
+  /** Overlapping document chunking (chunk 128 tokens, stride 96 → 32-token
+    * overlap): the windowing step before embedding / context-window
+    * training. Pure map-only projection + explode — chunk boundaries
+    * depend only on the row, so the operator re-shards freely and the
+    * cheapest 100 TB shape holds. Last chunk truncates at the document
+    * end; every document yields >= 1 chunk. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 128; val stride = 96
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          expr(s"(n_tokens + ${stride - 1}) div ${stride}L - 1"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(chunk.toLong), col("n_tokens") - col("chunk_idx") * stride).as("n_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val o57 =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n, unnest(range((n + 95) // 96)) AS chunk_idx FROM t)
+      |SELECT doc_id, chunk_idx, chunk_idx * 96 AS start_tok,
+      |       least(128, n - chunk_idx * 96) AS n_tok
+      |FROM c ORDER BY 1, 2""".stripMargin
+
+  /** Deterministic global training-shuffle order: every document gets its
+    * permutation POSITION under a salted content-hash ordering — the
+    * "shuffle the corpus reproducibly" step before epoch sharding.
+    * Distributed via [[graft.functions.PrefixSum]] (range-bucket scan +
+    * O(P) broadcast offsets) over the hash key — a bare
+    * `row_number() OVER (ORDER BY hash)` would funnel the corpus through
+    * ONE task (SinglePartition exchange); hash keys are uniform so the
+    * equal-width buckets balance perfectly. 60-bit md5-prefix keys make
+    * ties (which would make the position nondeterministic) vanishingly
+    * improbable at any corpus size. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("shuf|"), col("text"))), 1, 15), 16, 10)
+          .cast("long").as("k"))
+      .withColumn("one", lit(1L))
+    graft.functions.PrefixSum.runningTotal(keyed, "k", "one", "pos")
+      .select(col("doc_id"), (col("pos") - 1).as("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
+  private val o58 =
+    """SELECT doc_id,
+      |       row_number() OVER (
+      |         ORDER BY CAST(('0x' || substr(md5('shuf|' || text), 1, 15)) AS BIGINT))
+      |         - 1 AS shuffle_pos
+      |FROM documents ORDER BY 1""".stripMargin
+
   /** toid->uprn explode over the flagship output (S8). */
   private def q33(s: SparkSession, dir: String): DataFrame =
     VegPipeline.toid2uprn(flagshipFrame(s, dir)).orderBy("feature_id", "uprn")
@@ -1668,7 +1724,9 @@ object Queries {
     "q53_decontaminate_bloom" -> (q53 _),
     "q54_mixture_upsample" -> (q54 _),
     "q55_image_quality" -> (q55 _),
-    "q56_stream_dedup" -> (q56 _)
+    "q56_stream_dedup" -> (q56 _),
+    "q57_chunk_overlap" -> (q57 _),
+    "q58_shuffle_order" -> (q58 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1727,6 +1785,8 @@ object Queries {
     "q53_decontaminate_bloom" -> o53,
     "q54_mixture_upsample" -> o54,
     "q55_image_quality" -> o55,
-    "q56_stream_dedup" -> o56
+    "q56_stream_dedup" -> o56,
+    "q57_chunk_overlap" -> o57,
+    "q58_shuffle_order" -> o58
   )
 }

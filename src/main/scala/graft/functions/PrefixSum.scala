@@ -51,9 +51,17 @@ object PrefixSum {
     }
     // equal-width range buckets over [kmin, kmax]: order-preserving
     // (k1 < k2 => bucket(k1) <= bucket(k2)) and a pure function of the
-    // key, so both passes see identical assignments
-    val span = math.max(kmax - kmin + 1, 1L)
-    val bucket = (((kc - kmin) * buckets.toLong) / span).cast("int")
+    // key, so both passes see identical assignments. Bucket by DIVIDING
+    // the offset by a precomputed width instead of multiplying by
+    // `buckets` — with wide keys (q58's 60-bit hashes) the product
+    // overflows a long; (k - kmin) / ceil(span / buckets) needs no
+    // product and (span-1)/width <= (span-1)*buckets/span < buckets
+    // keeps every bucket id in [0, buckets).
+    val span = (BigInt(kmax) - BigInt(kmin)) + 1
+    require(BigInt(kmax) - BigInt(kmin) <= Long.MaxValue,
+      s"key span $span exceeds a long — re-key or densify first")
+    val width = ((span + buckets - 1) / buckets).max(1).toLong
+    val bucket = ((kc - kmin) / width).cast("int")
     val withB = df.withColumn("__psb", bucket)
 
     val w = Window.partitionBy("__psb").orderBy(col(keyCol).asc)

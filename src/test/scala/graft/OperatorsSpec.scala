@@ -1092,6 +1092,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$plan")
   }
 
+  test("chunking (q57): overlap windows, truncated tail, short-doc and exact-boundary edges") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, words(5)),     // n < chunk: one truncated chunk
+      (1L, words(96)),    // n == stride: exactly one FULL-count chunk (96 < 128)
+      (2L, words(97)),    // one past the stride: second chunk of 1
+      (3L, words(128)),   // exactly one full chunk (ceil(128/96) = 2 -> 2nd has 32)
+      (4L, words(300))))  // ceil(300/96) = 4 chunks; last n_tok = 300 - 288 = 12
+    val got = SparkEntry.queries("q57_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.filter(_._1 == 0L) == Seq((0L, 0L, 0L, 5L)))
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0L, 0L, 96L)))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 97L), (2L, 1L, 96L, 1L)))
+    assert(got.filter(_._1 == 3L) == Seq((3L, 0L, 0L, 128L), (3L, 1L, 96L, 32L)))
+    assert(got.filter(_._1 == 4L) == Seq((4L, 0L, 0L, 128L), (4L, 1L, 96L, 128L),
+      (4L, 2L, 192L, 108L), (4L, 3L, 288L, 12L)))
+    // consecutive full chunks overlap by exactly chunk - stride = 32 tokens
+    val full = got.filter(r => r._1 == 4L && r._4 == 128L)
+    assert(full.sliding(2).forall { case Seq(a, b) => a._3 + 128 - b._3 == 32 })
+  }
+
+  test("shuffle order (q58): a permutation, deterministic, equals the single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = writeDocs((0L until 64L).map(i => (i, s"document body number $i with words")))
+    val df = SparkEntry.queries("q58_shuffle_order")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // positions are exactly 0..N-1 (a permutation), not the identity
+    assert(got.map(_._2).sorted == (0L until 64L))
+    assert(got.map(_._2) != (0L until 64L).toSeq)
+    // equals the naive single-window formulation
+    val naive = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(
+          conv(substring(md5(concat(lit("shuf|"), col("text"))), 1, 15), 16, 10)
+            .cast("long"))) - 1).cast("long").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, p) => naive(id) == p })
+    // distributed shape: no SinglePartition exchange anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"q58 funnels through one task:\n$plan")
+  }
+
   test("z-order key (q52): column arithmetic equals the bit-by-bit reference; bijective") {
     import graft.index.ZOrder
     import spark.implicits._

@@ -198,7 +198,8 @@ object Bench {
       "q45_decontaminate", "q46_hash_split", "q47_dedup_clusters",
       "q48_redact_pii", "q49_stratified_sample", "q50_pack_sequences",
       "q51_vocab_oov", "q52_zorder", "q53_decontaminate_bloom",
-      "q54_mixture_upsample", "q55_image_quality")
+      "q54_mixture_upsample", "q55_image_quality", "q57_chunk_overlap",
+      "q58_shuffle_order")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

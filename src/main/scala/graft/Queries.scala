@@ -337,6 +337,20 @@ object Queries {
       |       time_bucket(INTERVAL '1 hour', ts) AS hr
       |FROM events ORDER BY 1, 2, 3""".stripMargin
 
+  /** Stream-stream interval join (watermarked view->click attribution) —
+    * see [[graft.streaming.Streams.attributedClicks]]; output equals the
+    * batch interval self-join. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.attributedClicks(s, s"$dir/events.parquet")
+
+  private val o59 =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v JOIN events c
+      |  ON v.event_type = 'view' AND c.event_type = 'click'
+      | AND v.user_id = c.user_id
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Streaming per-user sessionization (event-time session windows,
     * 4-hour gap) — declarative session_window; the custom-state
     * flatMapGroupsWithState formulation is unit-tested equal
@@ -1726,7 +1740,8 @@ object Queries {
     "q55_image_quality" -> (q55 _),
     "q56_stream_dedup" -> (q56 _),
     "q57_chunk_overlap" -> (q57 _),
-    "q58_shuffle_order" -> (q58 _)
+    "q58_shuffle_order" -> (q58 _),
+    "q59_stream_join" -> (q59 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1787,6 +1802,7 @@ object Queries {
     "q55_image_quality" -> o55,
     "q56_stream_dedup" -> o56,
     "q57_chunk_overlap" -> o57,
-    "q58_shuffle_order" -> o58
+    "q58_shuffle_order" -> o58,
+    "q59_stream_join" -> o59
   )
 }

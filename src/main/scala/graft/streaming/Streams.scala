@@ -125,6 +125,35 @@ object Streams extends Serializable {
     spark.table(sinkName).orderBy("user_id", "event_type", "hr")
   }
 
+  /** Stream-stream interval join (the last Structured-Streaming join
+    * shape): attribute each click to the views of the SAME user in the
+    * preceding hour. Both sides carry event-time watermarks and the join
+    * condition bounds the time range, so Spark can size and EVICT the
+    * per-side join state — without the range bound the state would grow
+    * with the stream. Inner join in append mode emits a pair exactly
+    * once; the result set is arrival-order-independent, so it equals the
+    * batch interval self-join (o59) exactly. */
+  def attributedClicks(spark: SparkSession, eventsPath: String): DataFrame = {
+    val static = spark.read.parquet(eventsPath)
+    val srcDir = stageDir(eventsPath)
+    def side(tpe: String, p: String) =
+      spark.readStream.schema(static.schema).parquet(srcDir)
+        .where(col("event_type") === tpe)
+        .select(col("user_id").as(s"user_$p"), col("event_id").as(s"${p}_id"),
+          col("ts").cast("timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    val joined = side("view", "view").join(side("click", "click"),
+      expr("""user_view = user_click AND
+              click_ts >= view_ts AND click_ts <= view_ts + interval 1 hour"""))
+    val sinkName = "graft_attributed_clicks"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .select(col("user_view").as("user_id"), col("view_id"), col("click_id"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   /** Per-user streaming sessionization via the DECLARATIVE session
     * window (gap-merged event-time sessions): two events share a session
     * iff their gap is strictly under `gap`; session end = last event +

@@ -697,6 +697,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == streamed)
   }
 
+  test("stream-stream interval join (q59): equals the batch interval self-join, deterministic") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = Streams.attributedClicks(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = spark.read.parquet(path)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val batch = v.join(c, Seq("user_id"))
+      .where(col("cts") >= col("vts") && col("cts") <= col("vts") + expr("interval 1 hour"))
+      .select("user_id", "view_id", "click_id")
+      .orderBy("user_id", "view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionization: flatMapGroupsWithState custom state equals declarative session_window") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

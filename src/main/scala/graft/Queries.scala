@@ -1682,6 +1682,226 @@ object Queries {
        |FROM read_parquet('${Sidecars.vegPath}/*.parquet')
        |ORDER BY 1, 2""".stripMargin
 
+  /** Cross-document duplicate-span detection (exact-substring dedup in
+    * the style of "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, arXiv:2107.06499): hash every 8-token
+    * window; a window seen in >= 2 DISTINCT documents marks its span as
+    * duplicated, and each document reports its duplicated-window count
+    * and fraction — the per-doc signal used to cut boilerplate and
+    * cross-site mirrored spans out of a pretraining corpus.
+    *
+    * Scale shape: the map stage reduces text to 60-bit window keys, so
+    * no strings ever cross an exchange; then (key,doc) counts, the
+    * >=2-docs flag, and the flag join are two hash aggregations plus one
+    * equi-join on the key — all partial-agg friendly, nothing all-pairs.
+    * Suffix-array approaches find arbitrary-length spans; fixed-w
+    * windows are the shuffle-friendly approximation (a duplicated span
+    * of length L >= w is flagged by all its L-w+1 windows). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(ws) - $w),
+           |          i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), 16, 10) as bigint))""".stripMargin))
+        .as("h"))
+    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val dupKeys = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val dup = perDoc.join(dupKeys, "h")
+      .groupBy("doc_id").agg(sum("c").as("n_dup"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - (w - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows").cast("double")))
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  private val o60 =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(array_to_string(
+      |                list_slice(ws, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8)),
+      |pd AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+      |nd AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup FROM pd JOIN nd USING (h) GROUP BY 1)
+      |SELECT d2.doc_id,
+      |       greatest(CAST(len(string_split(d2.text, ' ')) - 7 AS BIGINT), 0) AS n_windows,
+      |       COALESCE(dup.n_dup, 0) AS n_dup_windows,
+      |       CASE WHEN greatest(len(string_split(d2.text, ' ')) - 7, 0) = 0 THEN 0.0
+      |            ELSE CAST(COALESCE(dup.n_dup, 0) AS DOUBLE)
+      |                 / (len(string_split(d2.text, ' ')) - 7) END AS dup_frac
+      |FROM documents d2 LEFT JOIN dup USING (doc_id) ORDER BY 1""".stripMargin
+
+  /** Shared bigram projection for q61/q64: (doc_id, gram text, 60-bit
+    * md5-prefix key). Strings survive only to the FIRST aggregation that
+    * needs their text; everything join-shaped runs on the long key. */
+  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("gram"))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+
+  /** Exact heavy-hitter phrases (bigrams with frequency >= total/1024),
+    * computed with a count-min-sketch prefilter: pass 1 builds a tiny
+    * mergeable sketch map-only (its totalCount also supplies the
+    * threshold denominator — no separate count job); pass 2 drops
+    * sub-threshold grams MAP-SIDE via the sketch probe (which never
+    * undercounts → no false negatives) so the exact GROUP BY ... HAVING
+    * only shuffles plausible candidates. Identical answer to the naive
+    * plan — the oracle and the OperatorsSpec equality test pin that —
+    * but the exchange no longer carries the long tail, which at 100 TB
+    * is billions of singleton n-grams. See [[graft.functions.Cms]]. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val grams = bigrams(s, dir)
+    val cms = graft.functions.Cms.sketchOf(grams, "h")
+    val thresh = math.max(cms.totalCount() / 1024L, 1L)
+    grams.where(graft.functions.Cms.estimate(col("h"), cms) >= thresh)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thresh)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  private val o61 =
+    """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)] AS gram
+      |  FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM ws WHERE len(ws) >= 2)),
+      |tot AS (SELECT count(*) AS n FROM g)
+      |SELECT gram, cnt FROM (
+      |  SELECT gram, count(*) AS cnt, any_value(n) AS n
+      |  FROM g, tot GROUP BY gram)
+      |WHERE cnt >= greatest(n // 1024, 1)
+      |ORDER BY cnt DESC, gram""".stripMargin
+
+  /** Time-series gap-fill + forward-fill resample: per-user hourly event
+    * rollup densified onto the full hour grid between that user's first
+    * and last event, empty hours zero-counted and the last observed
+    * value carried forward — the regularization step before windowed
+    * feature extraction on irregular event streams. Scale shape: the
+    * grid explode is bounded per user (span/step rows, no cross join);
+    * the fill window partitions by user_id so no SinglePartition
+    * exchange appears; the grid⋈rollup join is an equi-join on
+    * (user_id, hour) that AQE plans locally after the same-key
+    * aggregations. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hr = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"), max("value").as("v"))
+    val grid = hr.groupBy("user_id")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hr, Seq("user_id", "h"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h").as("hour_ts"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("v_fill"))
+      .orderBy("user_id", "hour_ts")
+  }
+
+  private val o62 =
+    """WITH hr AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hr GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+      |j AS (SELECT g.user_id, g.h, hr.n, hr.v
+      |      FROM grid g LEFT JOIN hr ON hr.user_id = g.user_id AND hr.h = g.h)
+      |SELECT user_id, h AS hour_ts, COALESCE(n, 0) AS n_events,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+      |FROM j ORDER BY 1, 2""".stripMargin
+
+  /** Exact corpus quantile profile (p25/p50/p75/p95/p99 of document
+    * length) — the stats pass that calibrates quality-filter thresholds.
+    * A naive `row_number() OVER (ORDER BY ...)` ranks N rows through one
+    * task; instead the distribution is collapsed to a VALUE HISTOGRAM
+    * (distinct-value sized, not corpus sized), [[graft.functions.PrefixSum]]
+    * turns it into exact cumulative counts distributed, and each target
+    * rank r = ceil(p*N/100) (integer arithmetic — no fp boundary flakes)
+    * picks its quantile as min(value | cum >= r) via a 5-row broadcast
+    * theta-join. Per-row work never leaves the map stage. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("n_chars"))
+    val total = docs.count()
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = graft.functions.PrefixSum.runningTotal(hist, "n_chars", "cnt", "cum")
+    val targets = Seq(25, 50, 75, 95, 99).map(p => (p, (p * total + 99) / 100))
+    val tdf = s.createDataFrame(targets).toDF("pct", "rank")
+    cum.join(broadcast(tdf), col("cum") >= col("rank"))
+      .groupBy("pct", "rank").agg(min("n_chars").as("value"))
+      .orderBy("pct")
+  }
+
+  private val o63 =
+    """WITH t AS (SELECT count(*) AS n FROM documents),
+      |tg AS (SELECT unnest([25, 50, 75, 95, 99]) AS pct),
+      |r AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS rank FROM tg, t),
+      |o AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM documents)
+      |SELECT pct, rank, (SELECT n_chars FROM o WHERE o.rk = r.rank) AS value
+      |FROM r ORDER BY pct""".stripMargin
+
+  /** Statistical LM quality score (CCNet-style perplexity filtering,
+    * integer-quantized): train bigram counts over the corpus itself, then
+    * score each document by the summed integer log2 of its bigrams'
+    * corpus frequencies — floor(log2 c) computed as length(bin(c)) - 1,
+    * pure integer/string arithmetic, so the score is bit-identical on
+    * any engine (a float ln() would differ in the last ulp between
+    * libm implementations and flake a decimal-summed oracle). High
+    * bits_per_gram = statistically typical text; garbage/rare token
+    * salad scores near the floor. Scale shape: the "training" is one
+    * hash aggregation over 60-bit gram keys; scoring is an equi-join of
+    * the gram stream against the count table on the same key (both
+    * sides already partitioned by it) plus a per-doc sum — no strings
+    * past the map stage, no driver-side model. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val grams = bigrams(s, dir).select("doc_id", "h")
+    val lm = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .select(col("h"), (length(expr("bin(c)")) - 1).cast("long").as("bits"))
+    val scored = grams.join(lm, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("nb"), sum("bits").as("score"))
+    t(s, dir, "documents").select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("nb"), lit(0L)))
+      .withColumn("lm_score", coalesce(col("score"), lit(0L)))
+      .withColumn("bits_per_gram",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("lm_score").cast("double") / col("n_bigrams").cast("double")))
+      .select("doc_id", "n_bigrams", "lm_score", "bits_per_gram")
+      .orderBy("doc_id")
+  }
+
+  private val o64 =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |        WHERE len(ws) >= 2)),
+      |lm AS (SELECT h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS bits FROM g GROUP BY 1),
+      |sc AS (SELECT doc_id, count(*) AS nb, CAST(sum(bits) AS BIGINT) AS score
+      |       FROM g JOIN lm USING (h) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams, COALESCE(score, 0) AS lm_score,
+      |       CASE WHEN COALESCE(nb, 0) = 0 THEN 0.0
+      |            ELSE CAST(score AS DOUBLE) / nb END AS bits_per_gram
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -1741,7 +1961,12 @@ object Queries {
     "q56_stream_dedup" -> (q56 _),
     "q57_chunk_overlap" -> (q57 _),
     "q58_shuffle_order" -> (q58 _),
-    "q59_stream_join" -> (q59 _)
+    "q59_stream_join" -> (q59 _),
+    "q60_dup_spans" -> (q60 _),
+    "q61_heavy_hitters" -> (q61 _),
+    "q62_gapfill_resample" -> (q62 _),
+    "q63_exact_quantiles" -> (q63 _),
+    "q64_lm_score" -> (q64 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1803,6 +2028,11 @@ object Queries {
     "q56_stream_dedup" -> o56,
     "q57_chunk_overlap" -> o57,
     "q58_shuffle_order" -> o58,
-    "q59_stream_join" -> o59
+    "q59_stream_join" -> o59,
+    "q60_dup_spans" -> o60,
+    "q61_heavy_hitters" -> o61,
+    "q62_gapfill_resample" -> o62,
+    "q63_exact_quantiles" -> o63,
+    "q64_lm_score" -> o64
   )
 }

@@ -1288,4 +1288,98 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
     assert(again.sorted.toSeq == rows.sorted.toSeq)
   }
+
+  test("dup spans (q60): cross-doc 8-gram windows; within-doc repeats don't count") {
+    def w(ts: String*): String = ts.mkString(" ")
+    val shared = w("a", "b", "c", "d", "e", "f", "g", "h") // the one cross-doc window
+    val dir = writeDocs(Seq(
+      (0L, shared + " i j"),       // 10 tokens, 3 windows; window0 == shared
+      (1L, shared + " x y"),       // shares only window0 with doc 0
+      (2L, "p q r"),               // < 8 tokens: zero windows
+      (3L, w(Seq.fill(10)("z"): _*)),   // one distinct window x3, single doc: NOT dup
+      (4L, shared + " " + shared)))     // 16 tokens, 9 windows; shared appears twice
+    val got = SparkEntry.queries("q60_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 1.0 / 3.0),
+      (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 0L, 0L, 0.0),
+      (3L, 3L, 0L, 0.0),       // pigeonhole: needs >= 2 DISTINCT documents
+      (4L, 9L, 2L, 2.0 / 9.0)))  // both occurrences of the shared window count
+  }
+
+  test("heavy hitters (q61): identical to the naive GROUP BY/HAVING; CMS probe in plan") {
+    // ~2.4k bigrams so total/1024 >= 2 exercises a real threshold:
+    // "hot pair" dominates, a mid phrase sits near the cut, tail is singletons
+    val docs = (0L until 100L).map(i => (i, "hot pair " + s"mid$i phrase u${i}a u${i}b " +
+      (0 until 16).map(j => s"t${i}_$j").mkString(" ")))
+    val dir = writeDocs(docs)
+    val df = SparkEntry.queries("q61_heavy_hitters")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_estimate"), s"CMS prefilter missing from plan:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // naive reference plan computed inline (no sketch)
+    val grams = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("gram"))
+    val total = grams.count()
+    val thresh = math.max(total / 1024L, 1L)
+    assert(thresh >= 2L) // the test corpus is big enough to have a real cut
+    val naive = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thresh)
+      .orderBy(col("cnt").desc, col("gram"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == naive)
+    assert(got.head._1 == "hot pair" && got.head._2 == 100L)
+  }
+
+  test("gap-fill resample (q62): dense hour grid, zero-filled counts, forward-filled value") {
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "click", 10.0),        // hour 0
+      (2L, ts(600), 1L, "click", 12.0),      // hour 0 again (max -> 12.0)
+      (3L, ts(3 * 3600), 1L, "view", 7.0),   // hour 3: hours 1,2 are gaps
+      (4L, ts(100), 2L, "click", 5.0)))      // user 2: single hour
+    val got = SparkEntry.queries("q62_gapfill_resample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L, 12.0),
+      (1L, "2024-01-01 01:00:00.0", 0L, 12.0),  // gap: zero events, value carried
+      (1L, "2024-01-01 02:00:00.0", 0L, 12.0),
+      (1L, "2024-01-01 03:00:00.0", 1L, 7.0),
+      (2L, "2024-01-01 00:00:00.0", 1L, 5.0)))
+  }
+
+  test("exact quantiles (q63): histogram+prefix-sum picks the exact ranked value") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    // 50 docs of length 1 and 50 of length 2: p25 lands in the 1-bucket,
+    // p75/p95/p99 in the 2-bucket; then a spread tail pins interior ranks
+    val lens = Seq.fill(50)(1L) ++ Seq.fill(50)(2L) ++ (101L to 200L)
+    lens.zipWithIndex.map { case (n, i) => (i.toLong, "x", n) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q63_exact_quantiles")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // N = 200; rank(p) = ceil(p*N/100) = 2p; sorted values:
+    // idx 1..50 -> 1, 51..100 -> 2, 101..200 -> 101..200
+    assert(got == Seq(
+      (25, 50L, 1L), (50, 100L, 2L), (75, 150L, 150L),
+      (95, 190L, 190L), (99, 198L, 198L)))
+  }
+
+  test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
+    val dir = writeDocs(Seq(
+      (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1
+      (1L, "a b c"),    // "a b", "b c"
+      (2L, "solo")))    // < 2 tokens: zero bigrams
+    // corpus counts: "a b" -> 3 (bits 1), "b a" -> 1 (0), "b c" -> 1 (0)
+    val got = SparkEntry.queries("q64_lm_score")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, 2.0 / 3.0),
+      (1L, 2L, 1L, 0.5),
+      (2L, 0L, 0L, 0.0)))
+  }
 }

@@ -1742,16 +1742,16 @@ object Queries {
       |                 / (len(string_split(d2.text, ' ')) - 7) END AS dup_frac
       |FROM documents d2 LEFT JOIN dup USING (doc_id) ORDER BY 1""".stripMargin
 
-  /** Shared bigram projection for q61/q64: (doc_id, gram text, 60-bit
-    * md5-prefix key). Strings survive only to the FIRST aggregation that
-    * needs their text; everything join-shaped runs on the long key. */
+  /** Shared bigram projection for q61/q64: (doc_id, gram text). Each
+    * consumer picks its own key hash — q61 a cheap xxhash64 (internal to
+    * the sketch prefilter, collisions only overcount), q64 the md5
+    * prefix its oracle re-derives — so neither pays for the other's. */
   private def bigrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("gram"))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
 
   /** Exact heavy-hitter phrases (bigrams with frequency >= total/1024),
     * computed with a count-min-sketch prefilter: pass 1 builds a tiny
@@ -1764,7 +1764,7 @@ object Queries {
     * but the exchange no longer carries the long tail, which at 100 TB
     * is billions of singleton n-grams. See [[graft.functions.Cms]]. */
   private def q61(s: SparkSession, dir: String): DataFrame = {
-    val grams = bigrams(s, dir)
+    val grams = bigrams(s, dir).withColumn("h", xxhash64(col("gram")))
     val cms = graft.functions.Cms.sketchOf(grams, "h")
     val thresh = math.max(cms.totalCount() / 1024L, 1L)
     grams.where(graft.functions.Cms.estimate(col("h"), cms) >= thresh)
@@ -1870,7 +1870,9 @@ object Queries {
     * sides already partitioned by it) plus a per-doc sum — no strings
     * past the map stage, no driver-side model. */
   private def q64(s: SparkSession, dir: String): DataFrame = {
-    val grams = bigrams(s, dir).select("doc_id", "h")
+    val grams = bigrams(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
     val lm = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .select(col("h"), (length(expr("bin(c)")) - 1).cast("long").as("bits"))
     val scored = grams.join(lm, "h")

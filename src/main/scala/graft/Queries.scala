@@ -1904,6 +1904,78 @@ object Queries {
       |            ELSE CAST(score AS DOUBLE) / nb END AS bits_per_gram
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
 
+  /** Int8 scalar quantization of the embedding column (the compression
+    * step before shipping vectors to an ANN index or training shard):
+    * per-vector min/max affine map onto 0..255 codes, reported as
+    * integer code statistics (sum, zero/saturated counts) so the oracle
+    * compare is exact. All arithmetic is per-row higher-order array
+    * functions — map-only, no shuffle but the presentation sort; fp64
+    * op order is written identically in the SQL (the proven
+    * list_dot_product ≡ fold pattern, q16) so floor() sees bit-identical
+    * doubles on both engines. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("mn", array_min(col("e")))
+      .withColumn("mx", array_max(col("e")))
+      .withColumn("codes", expr(
+        """transform(e, x -> CASE WHEN mx = mn THEN 0L
+          |  ELSE least(255L, greatest(0L, floor((x - mn) * 255.0 / (mx - mn)))) END)""".stripMargin))
+      .select(col("vec_id"), size(col("e")).cast("long").as("n_dims"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_code"),
+        expr("size(filter(codes, c -> c = 0L))").cast("long").as("n_zero"),
+        expr("size(filter(codes, c -> c = 255L))").cast("long").as("n_sat"))
+      .orderBy("vec_id")
+
+  private val o65 =
+    """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM b),
+      |c AS (SELECT vec_id, e,
+      |             list_transform(e, x -> CASE WHEN mx = mn THEN 0
+      |               ELSE least(255, greatest(0, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) END) AS codes
+      |      FROM m)
+      |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
+      |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_code,
+      |       CAST(len(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero,
+      |       CAST(len(list_filter(codes, x -> x = 255)) AS BIGINT) AS n_sat
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  /** The q66 coarse quantizer: deterministic spherical k-means (bounded
+    * hash-ordered sample, fixed seed path — [[graft.functions.Ann.trainIvfCentroids]]),
+    * shared by the query and the [[Sidecars]] centroid dump. */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.functions.Ann.trainIvfCentroids(
+      t(s, dir, "embeddings"), dim = 64, nList = 16)
+
+  /** Semantic cluster assignment (the batch k-means-inference shape used
+    * for corpus bucketing / semantic dedup prefilters): every vector
+    * tagged with its nearest of 16 spherical-k-means centroids by dot
+    * product (cosine order — centroids are unit-norm). One narrow
+    * map-only pass over the vectors via the [[graft.functions.IvfLists]]
+    * native expression; the centroid matrix is coarse-quantizer-sized
+    * (16×64 doubles) and rides the plan. The oracle re-derives the
+    * argmax + smaller-cluster tiebreak in SQL over the centroid sidecar
+    * — given the same centroids, assignment must agree bit-for-bit. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val cents = kmeansCentroids(s, dir)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        element_at(ec(graft.functions.IvfLists(ee(col("embedding")), cents, 1)), 1)
+          .cast("int").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  private lazy val o66 =
+    s"""SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c.cluster,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+       |                    c.cluster) AS rn
+       |  FROM embeddings e, read_parquet('${Sidecars.kmeansCentroidsPath}/*.parquet') c)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -1968,7 +2040,9 @@ object Queries {
     "q61_heavy_hitters" -> (q61 _),
     "q62_gapfill_resample" -> (q62 _),
     "q63_exact_quantiles" -> (q63 _),
-    "q64_lm_score" -> (q64 _)
+    "q64_lm_score" -> (q64 _),
+    "q65_quantize_int8" -> (q65 _),
+    "q66_kmeans_assign" -> (q66 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2035,6 +2109,8 @@ object Queries {
     "q61_heavy_hitters" -> o61,
     "q62_gapfill_resample" -> o62,
     "q63_exact_quantiles" -> o63,
-    "q64_lm_score" -> o64
+    "q64_lm_score" -> o64,
+    "q65_quantize_int8" -> o65,
+    "q66_kmeans_assign" -> o66
   )
 }

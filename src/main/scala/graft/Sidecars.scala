@@ -31,6 +31,7 @@ object Sidecars {
   val imageStatsPath = s"$root/tiles_image_stats.parquet"
   val framePixelsPath = s"$root/media_frame_pixels.parquet"
   val audioSamplesPath = s"$root/media_audio_samples.parquet"
+  val kmeansCentroidsPath = s"$root/kmeans_centroids.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -62,6 +63,16 @@ object Sidecars {
         nList = 32, nProbe = 8)
       .select("query_id", "neighbor_id").coalesce(1)
       .write.mode("overwrite").parquet(annIvfPath)
+    // q66: the trained k-means centroid matrix, so the oracle re-derives
+    // the nearest-centroid assignment (argmax dot + smaller-cluster
+    // tiebreak) over the SAME quantizer the engine used
+    locally {
+      import s.implicits._
+      Queries.kmeansCentroids(s, dir).zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(kmeansCentroidsPath)
+    }
     // q30/q34/q35: each flagship case's pre-aggregation fragment frame +
     // garden metadata, so the oracle re-derives the distributed
     // groupBy-sum / metadata join / fraction division independently

@@ -1369,6 +1369,41 @@ class OperatorsSpec extends AnyFunSuite {
       (95, 190L, 190L), (99, 198L, 198L)))
   }
 
+  test("int8 quantize (q65): affine code map, clamp, constant-vector edge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq(
+      (0L, Seq(0.0f, 1.0f, 0.5f, 0.25f)),  // codes 0,255,127,63
+      (1L, Seq(2.0f, 2.0f, 2.0f)),         // mx == mn: all 0
+      (2L, Seq(-1.0f, 3.0f)))              // extremes only: 0 and 255
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q65_quantize_int8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 445L, 1L, 1L),
+      (1L, 3L, 0L, 3L, 0L),
+      (2L, 2L, 255L, 1L, 1L)))
+  }
+
+  test("k-means assign (q66): equals driver-side argmax over the trained centroids") {
+    val dir = "/root/testdata/sf0.001"
+    val cents = Queries.kmeansCentroids(spark, dir)
+    assert(cents.length == 16 && cents(0).length == 64)
+    val got = SparkEntry.queries("q66_kmeans_assign")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(got.keySet == emb.keySet)
+    emb.foreach { case (id, e) =>
+      val dots = cents.map(c => (0 until 64).map(j => e(j) * c(j)).sum)
+      val best = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      assert(got(id) == best, s"vec $id: got ${got(id)}, brute-force $best")
+    }
+    assert(got.values.toSet.size > 1, "degenerate clustering: everything in one list")
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

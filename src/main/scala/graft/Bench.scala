@@ -201,7 +201,8 @@ object Bench {
       "q54_mixture_upsample", "q55_image_quality", "q57_chunk_overlap",
       "q58_shuffle_order", "q60_dup_spans", "q61_heavy_hitters",
       "q62_gapfill_resample", "q63_exact_quantiles", "q64_lm_score",
-      "q65_quantize_int8", "q66_kmeans_assign")
+      "q65_quantize_int8", "q66_kmeans_assign", "q67_augment_image",
+      "q68_source_profile", "q69_source_overlap")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

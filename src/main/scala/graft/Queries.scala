@@ -1976,6 +1976,143 @@ object Queries {
        |  FROM embeddings e, read_parquet('${Sidecars.kmeansCentroidsPath}/*.parquet') c)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** The q67 augmentation input: a deterministic ~1/6 subset of the
+    * synthetic tile table (bounded, so the raw-pixel oracle sidecar stays
+    * small), shared by the query and [[Sidecars.writeAll]]. */
+  private[graft] def augmentTiles(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, _) = syntheticScale(dir)
+    Synthetic.tiles(s, gw, gh, 64)
+      .where(pmod(xxhash64(col("image_id")), lit(6L)) === 0L)
+      .select("image_id", "bytes")
+  }
+
+  /** Deterministic image augmentation (rot90/180/270, mirror flips,
+    * central crop — the spatial-transform family of a vision ingest
+    * pipeline) over the bounded tile subset, each output summarized by a
+    * position-weighted integer pixel checksum. The transforms are pure
+    * pixel permutations/subsets ([[graft.img.Augment]]) so the oracle
+    * re-derives the full source→destination coordinate map in SQL over
+    * the raw-pixel sidecar — wsum pins the EXACT permutation, not just
+    * the value multiset. Map-only per-row expressions (decode → permute
+    * → PNG encode → checksum); at catalog scale this is the same
+    * narrow-projection shape as the phash/quality passes. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import graft.img.{Augment, AugmentImage, PixelChecksum}
+    augmentTiles(s, dir)
+      .select(col("image_id"),
+        explode(array(Augment.kinds.map(lit): _*)).as("aug"), col("bytes"))
+      .select(col("image_id"), col("aug"),
+        ec(PixelChecksum(AugmentImage(ee(col("bytes")), ee(col("aug"))))).as("ck"))
+      .select(col("image_id"), col("aug"),
+        col("ck.w").as("w"), col("ck.h").as("h"),
+        col("ck.sum_b").as("sum_b"), col("ck.sum_g").as("sum_g"),
+        col("ck.sum_r").as("sum_r"), col("ck.wsum").as("wsum"))
+      .orderBy("image_id", "aug")
+  }
+
+  private lazy val o67 =
+    s"""WITH px AS (SELECT * FROM read_parquet('${Sidecars.augPixelsPath}/*.parquet')),
+       |dim AS (SELECT image_id, CAST(max(x) + 1 AS INT) AS w, CAST(max(y) + 1 AS INT) AS h
+       |        FROM px GROUP BY 1),
+       |augs AS (SELECT unnest(['crop_c', 'flip_h', 'flip_v', 'rot180', 'rot270', 'rot90']) AS aug),
+       |m AS (
+       |  SELECT p.image_id, a.aug,
+       |    CASE a.aug WHEN 'rot90' THEN d.h WHEN 'rot270' THEN d.h
+       |               WHEN 'crop_c' THEN d.w // 2 ELSE d.w END AS nw,
+       |    CASE a.aug WHEN 'rot90' THEN d.w WHEN 'rot270' THEN d.w
+       |               WHEN 'crop_c' THEN d.h // 2 ELSE d.h END AS nh,
+       |    CASE a.aug WHEN 'rot90' THEN p.x WHEN 'rot180' THEN d.h - 1 - p.y
+       |               WHEN 'rot270' THEN d.w - 1 - p.x WHEN 'flip_h' THEN p.y
+       |               WHEN 'flip_v' THEN d.h - 1 - p.y ELSE p.y - d.h // 4 END AS ny,
+       |    CASE a.aug WHEN 'rot90' THEN d.h - 1 - p.y WHEN 'rot180' THEN d.w - 1 - p.x
+       |               WHEN 'rot270' THEN p.y WHEN 'flip_h' THEN d.w - 1 - p.x
+       |               WHEN 'flip_v' THEN p.x ELSE p.x - d.w // 4 END AS nx,
+       |    p.b, p.g, p.rr
+       |  FROM px p JOIN dim d USING (image_id) CROSS JOIN augs a)
+       |SELECT image_id, aug, CAST(any_value(nw) AS INT) AS w, CAST(any_value(nh) AS INT) AS h,
+       |       CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+       |       CAST(sum(rr) AS BIGINT) AS sum_r,
+       |       CAST(sum((ny * nw + nx + 1) * (b + g + rr)) AS BIGINT) AS wsum
+       |FROM m
+       |WHERE ny >= 0 AND ny < nh AND nx >= 0 AND nx < nw
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Corpus composition report per source (the mixture dashboard before
+    * weighting a pretraining blend): doc count, total chars, distinct
+    * languages and the EXACT lower-median document length. The median is
+    * grouped q63 machinery — a per-(source, n_chars) histogram plus a
+    * cumulative-count window PARTITIONED BY source (no SinglePartition
+    * exchange, unlike a global rank) and the integer rank test
+    * 2·cum ≥ n (⇔ cum ≥ ceil(n/2), the lower-median rank, for either
+    * parity); per-row work never leaves the map stage. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      countDistinct("lang").as("n_langs"))
+    val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum("cnt").over(w))
+      .join(stats.select("source", "n_docs"), "source")
+      .where(col("cum") * 2 >= col("n_docs"))
+      .groupBy("source").agg(min("n_chars").as("median_chars"))
+    stats.join(med, "source")
+      .select("source", "n_docs", "total_chars", "n_langs", "median_chars")
+      .orderBy("source")
+  }
+
+  private val o68 =
+    """WITH st AS (SELECT source, count(*) AS n_docs,
+      |                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |                   count(DISTINCT lang) AS n_langs
+      |            FROM documents GROUP BY 1),
+      |o AS (SELECT source, n_chars,
+      |             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk
+      |      FROM documents),
+      |med AS (SELECT o.source, o.n_chars AS median_chars
+      |        FROM o JOIN st USING (source) WHERE o.rk = (st.n_docs + 1) // 2)
+      |SELECT st.source, st.n_docs, st.total_chars, st.n_langs, med.median_chars
+      |FROM st JOIN med USING (source) ORDER BY source""".stripMargin
+
+  /** Cross-source duplication matrix (which corpus sources mirror each
+    * other's content — the diagnostic behind per-pair dedup priorities
+    * and licensing audits): the q60 window hashing at source granularity.
+    * Distinct (source, window-hash) pairs self-join on the 60-bit hash —
+    * an equi-join whose per-key fanout is bounded by the source count,
+    * never all-pairs in documents; no strings cross the exchange. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val ws = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= w)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, size(ws) - $w),
+           |          i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), 16, 10) as bigint))""".stripMargin))
+        .as("h"))
+      .distinct()
+    ws.select(col("h"), col("source").as("src_a"))
+      .join(ws.select(col("h"), col("source").as("src_b")), "h")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(countDistinct("h").as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val o69 =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT DISTINCT source,
+      |         CAST(('0x' || substr(md5(array_to_string(
+      |                list_slice(ws, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM (SELECT source, ws, unnest(range(len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8))
+      |SELECT a.source AS src_a, b.source AS src_b, count(DISTINCT a.h) AS n_shared
+      |FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2042,7 +2179,10 @@ object Queries {
     "q63_exact_quantiles" -> (q63 _),
     "q64_lm_score" -> (q64 _),
     "q65_quantize_int8" -> (q65 _),
-    "q66_kmeans_assign" -> (q66 _)
+    "q66_kmeans_assign" -> (q66 _),
+    "q67_augment_image" -> (q67 _),
+    "q68_source_profile" -> (q68 _),
+    "q69_source_overlap" -> (q69 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2111,6 +2251,9 @@ object Queries {
     "q63_exact_quantiles" -> o63,
     "q64_lm_score" -> o64,
     "q65_quantize_int8" -> o65,
-    "q66_kmeans_assign" -> o66
+    "q66_kmeans_assign" -> o66,
+    "q67_augment_image" -> o67,
+    "q68_source_profile" -> o68,
+    "q69_source_overlap" -> o69
   )
 }

@@ -32,6 +32,7 @@ object Sidecars {
   val framePixelsPath = s"$root/media_frame_pixels.parquet"
   val audioSamplesPath = s"$root/media_audio_samples.parquet"
   val kmeansCentroidsPath = s"$root/kmeans_centroids.parquet"
+  val augPixelsPath = s"$root/aug_tile_pixels.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -85,6 +86,22 @@ object Sidecars {
         frags.coalesce(1).write.mode("overwrite").parquet(fp)
         meta.coalesce(1).write.mode("overwrite").parquet(mp)
       }
+    // q67: the RAW DECODED PIXELS of the augmentation tile subset, so the
+    // oracle re-derives each spatial transform's src→dst coordinate map
+    // in SQL and recomputes the position-weighted checksums exactly
+    locally {
+      import s.implicits._
+      Queries.augmentTiles(s, dir)
+        .select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val r = graft.img.Codec.decodeBGR(bytes)
+          for (y <- 0 until r.h; x <- 0 until r.w) yield {
+            val o = (y * r.w + x) * 3
+            (id, y, x, r.data(o) & 0xff, r.data(o + 1) & 0xff, r.data(o + 2) & 0xff)
+          }
+        }.toDF("image_id", "y", "x", "b", "g", "rr")
+        .coalesce(1).write.mode("overwrite").parquet(augPixelsPath)
+    }
     // q36/q37: the DECODED media payloads (sampled-frame pixels, PCM
     // samples) — container decode is the one step no SQL engine can do;
     // the oracle recomputes every statistic (channel means, RMS,

@@ -1404,6 +1404,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1, "degenerate clustering: everything in one list")
   }
 
+  test("augment kernel (q67): all six transforms hand-checked on a non-square raster") {
+    import graft.img.{Augment, Raster}
+    // 3x2 raster, pixel k has channels (k, k+10, k+20):  0 1 2 / 3 4 5
+    def px(k: Int) = Seq(k, k + 10, k + 20)
+    val src = Raster((0 until 6).flatMap(px).map(_.toByte).toArray, 3, 2, 3)
+    def layout(r: Raster): (Int, Int, Seq[Int]) =
+      (r.w, r.h, (0 until r.w * r.h).map(i => r.data(i * 3).toInt))
+    assert(layout(Augment(src, "rot90")) == ((2, 3, Seq(3, 0, 4, 1, 5, 2))))
+    assert(layout(Augment(src, "rot180")) == ((3, 2, Seq(5, 4, 3, 2, 1, 0))))
+    assert(layout(Augment(src, "rot270")) == ((2, 3, Seq(2, 5, 1, 4, 0, 3))))
+    assert(layout(Augment(src, "flip_h")) == ((3, 2, Seq(2, 1, 0, 5, 4, 3))))
+    assert(layout(Augment(src, "flip_v")) == ((3, 2, Seq(3, 4, 5, 0, 1, 2))))
+    assert(layout(Augment(src, "crop_c")) == ((1, 1, Seq(0))))
+    // every channel follows its pixel (not just channel 0)
+    val r90 = Augment(src, "rot90")
+    assert(r90.data(1).toInt == 13 && r90.data(2).toInt == 23) // pixel 3's g, r
+    // PNG round-trip through the expressions: rot90 twice == rot180
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import graft.img.{AugmentImage, PixelChecksum}
+    import spark.implicits._
+    val tile = graft.data.Synthetic.makeTile(401, 126, 16, 7L)
+    val df = Seq((tile.image_id, tile.bytes)).toDF("image_id", "bytes")
+    def ck(c: org.apache.spark.sql.Column) = ec(PixelChecksum(ee(c)))
+    val twice = df.select(ck(ec(AugmentImage(ee(ec(AugmentImage(ee(col("bytes")),
+      ee(lit("rot90"))))), ee(lit("rot90"))))).as("a"),
+      ck(ec(AugmentImage(ee(col("bytes")), ee(lit("rot180"))))).as("b"))
+      .select(col("a.wsum"), col("b.wsum"), col("a.sum_b"), col("b.sum_b")).head()
+    assert(twice.getLong(0) == twice.getLong(1) && twice.getLong(2) == twice.getLong(3))
+  }
+
+  test("source profile (q68): exact lower median, odd/even/duplicate groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq(
+      (0L, "x", "en", "srcA", 1L), (1L, "x", "en", "srcA", 2L), (2L, "x", "fr", "srcA", 3L),
+      (3L, "x", "en", "srcB", 1L), (4L, "x", "en", "srcB", 2L),
+      (5L, "x", "en", "srcB", 3L), (6L, "x", "en", "srcB", 4L),
+      (7L, "x", "de", "srcC", 5L), (8L, "x", "de", "srcC", 5L), (9L, "x", "de", "srcC", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q68_source_profile")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("srcA", 3L, 6L, 2L, 2L),   // odd n: middle value
+      ("srcB", 4L, 10L, 1L, 2L),  // even n: LOWER median
+      ("srcC", 3L, 17L, 1L, 5L))) // duplicates collapse into one histogram bucket
+  }
+
+  test("source overlap (q69): one shared window counted once across doc copies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    val shared = "a b c d e f g h"
+    Seq(
+      (0L, shared + " x", "srcA"),
+      (1L, shared + " y", "srcB"),
+      (2L, shared + " z", "srcB"),  // same window again: distinct (source, h) dedups
+      (3L, "p q r s t u v w", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q69_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("srcA", "srcB", 1L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -2081,23 +2081,30 @@ object Queries {
   /** Cross-source duplication matrix (which corpus sources mirror each
     * other's content — the diagnostic behind per-pair dedup priorities
     * and licensing audits): the q60 window hashing at source granularity.
-    * Distinct (source, window-hash) pairs self-join on the 60-bit hash —
-    * an equi-join whose per-key fanout is bounded by the source count,
-    * never all-pairs in documents; no strings cross the exchange. */
+    * One pass — per-hash sorted source SET (collect_set dedups, so no
+    * separate distinct shuffle) exploded into ordered pairs by array
+    * arithmetic — so the expensive md5-window scan runs ONCE (a naive
+    * self-join plans two full scans, one per side) and each shared hash
+    * contributes each pair exactly once (count ≡ countDistinct). Per-hash
+    * state and pair fanout are bounded by the source count; no strings
+    * cross an exchange. */
   private def q69(s: SparkSession, dir: String): DataFrame = {
     val w = 8
-    val ws = t(s, dir, "documents")
+    t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= w)
       .select(col("source"), explode(expr(
         s"""transform(sequence(0, size(ws) - $w),
            |          i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), 16, 10) as bigint))""".stripMargin))
         .as("h"))
-      .distinct()
-    ws.select(col("h"), col("source").as("src_a"))
-      .join(ws.select(col("h"), col("source").as("src_b")), "h")
-      .where(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(countDistinct("h").as("n_shared"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
       .orderBy("src_a", "src_b")
   }
 

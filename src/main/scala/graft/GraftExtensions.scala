@@ -53,7 +53,12 @@ object GraftFunctions {
     "graft_lsh_buckets" -> (4, x => graft.functions.SignLshBuckets(x(0),
       intLit(x(1), "graft_lsh_buckets dim"),
       intLit(x(2), "graft_lsh_buckets nPlanes"),
-      intLit(x(3), "graft_lsh_buckets nTables"), seed = 42L))
+      intLit(x(3), "graft_lsh_buckets nTables"), seed = 42L)),
+    // spatial image augmentation: (png/jpg bytes, kind) -> PNG bytes,
+    // kind in rot90|rot180|rot270|flip_h|flip_v|crop_c
+    "graft_augment_image" -> (2, x => graft.img.AugmentImage(x(0), x(1))),
+    // (bytes) -> struct(w, h, sum_b, sum_g, sum_r, wsum)
+    "graft_pixel_checksum" -> (1, x => graft.img.PixelChecksum(x(0)))
   )
 
   /** Register into an already-created session (the extensions path only

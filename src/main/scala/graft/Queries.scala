@@ -2120,6 +2120,46 @@ object Queries {
       |FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Tile-pyramid rollup (the raster-pyramid / multi-zoom density build
+    * behind every slippy-map overview and the S12 UK-summary raster's
+    * scale ladder): point density + weight aggregated at zoom levels
+    * 0..4, level-z cell = (e >> z, n >> z). Plan shape: ONE base
+    * aggregation collapses points to finest-level cells, then a bounded
+    * 5-way level explode re-aggregates — partial (map-side) aggregation
+    * absorbs the fanout before the single exchange, so the shuffle
+    * carries ~Σ-level-cells rows, never points × levels; no iterative
+    * per-level scans. Weights use floor() before the long cast (Spark
+    * truncates double→long, DuckDB rounds — floor pins both). */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 700).cast("long").as("e"),
+        (col("l_partkey") % 1300).cast("long").as("n"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy("e", "n")
+      .agg(count(lit(1)).as("n_pts"), sum("q").as("qty"))
+    base.select(explode(expr("sequence(0, 4)")).as("lvl"),
+        col("e"), col("n"), col("n_pts"), col("qty"))
+      .select(col("lvl").cast("long").as("level"),
+        expr("shiftright(e, lvl)").as("cell_e"),
+        expr("shiftright(n, lvl)").as("cell_n"),
+        col("n_pts"), col("qty"))
+      .groupBy("level", "cell_e", "cell_n")
+      .agg(sum("n_pts").as("n_pts"), sum("qty").as("qty"))
+      .orderBy("level", "cell_e", "cell_n")
+  }
+
+  private val o70 =
+    """WITH en AS (
+      |  SELECT CAST(l_orderkey % 700 AS BIGINT) AS e,
+      |         CAST(l_partkey % 1300 AS BIGINT) AS n,
+      |         CAST(floor(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem),
+      |lv AS (SELECT unnest(range(5)) AS level)
+      |SELECT level, e >> level AS cell_e, n >> level AS cell_n,
+      |       count(*) AS n_pts, CAST(sum(q) AS BIGINT) AS qty
+      |FROM en CROSS JOIN lv
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2189,7 +2229,8 @@ object Queries {
     "q66_kmeans_assign" -> (q66 _),
     "q67_augment_image" -> (q67 _),
     "q68_source_profile" -> (q68 _),
-    "q69_source_overlap" -> (q69 _)
+    "q69_source_overlap" -> (q69 _),
+    "q70_tile_pyramid" -> (q70 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2261,6 +2302,7 @@ object Queries {
     "q66_kmeans_assign" -> o66,
     "q67_augment_image" -> o67,
     "q68_source_profile" -> o68,
-    "q69_source_overlap" -> o69
+    "q69_source_overlap" -> o69,
+    "q70_tile_pyramid" -> o70
   )
 }

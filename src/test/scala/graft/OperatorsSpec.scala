@@ -1468,6 +1468,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L)))
   }
 
+  test("tile pyramid (q70): per-level halving, totals invariant across levels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-li").toString
+    // (e, n, q): e = l_orderkey % 700, n = l_partkey % 1300
+    Seq((0L, 0L, 1.0), (1L, 0L, 2.0), (0L, 1L, 3.0), (1L, 1L, 4.0), (2L, 3L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q70_tile_pyramid")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val byLevel = got.groupBy(_._1)
+    // totals are level-invariant
+    (0L to 4L).foreach { z =>
+      assert(byLevel(z).map(_._4).sum == 5L && byLevel(z).map(_._5).sum == 15L) }
+    assert(byLevel(0L).size == 5)
+    // level 1: (0,0) absorbs the 2x2 quad, (1,1) holds the outlier (2,3)
+    assert(byLevel(1L).toSet == Set((1L, 0L, 0L, 4L, 10L), (1L, 1L, 1L, 1L, 5L)))
+    // level 2+: everything in the origin cell
+    assert(byLevel(2L) == Seq((2L, 0L, 0L, 5L, 15L)))
+    assert(byLevel(4L) == Seq((4L, 0L, 0L, 5L, 15L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

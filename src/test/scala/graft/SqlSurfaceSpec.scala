@@ -56,4 +56,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(buckets.map(_ >> 32).toSeq == Seq(0L, 1L, 2L))
     assert(buckets.forall(b => (b & 0xffffffffL) < 256))
   }
+
+  test("image functions usable from SQL") {
+    import spark.implicits._
+    val tile = graft.data.Synthetic.makeTile(401, 126, 8, 11L)
+    Seq((tile.image_id, tile.bytes)).toDF("image_id", "bytes")
+      .createOrReplaceTempView("sql_surface_tiles")
+    val r = spark.sql(
+      """SELECT graft_pixel_checksum(bytes) AS o,
+        |       graft_pixel_checksum(graft_augment_image(bytes, 'rot180')) AS a,
+        |       graft_pixel_checksum(graft_augment_image(bytes, 'crop_c')) AS c
+        |FROM sql_surface_tiles""".stripMargin).collect()(0)
+    val (o, a, c) = (r.getStruct(0), r.getStruct(1), r.getStruct(2))
+    assert(o.getInt(0) == 8 && a.getInt(0) == 8 && c.getInt(0) == 4)
+    assert(o.getLong(2) == a.getLong(2)) // rot180 preserves channel sums
+  }
 }

@@ -2160,6 +2160,75 @@ object Queries {
       |FROM en CROSS JOIN lv
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Snapshot reconciliation diff (the dataset-versioning audit between
+    * two corpus builds: what was added, removed, or edited): two
+    * deterministic snapshot views of the documents table FULL-OUTER
+    * joined on doc_id, content compared by md5. Output is every doc_id
+    * whose status isn't 'unchanged'. Scale shape: one equi-join keyed on
+    * the id both snapshots are already laid out by, null-side arithmetic
+    * only — the standard incremental-ingest reconciliation plan. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.where(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val nw = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_md5"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  private val o71 =
+    """WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 10 <> 7),
+      |nw AS (SELECT doc_id,
+      |              md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END) AS new_md5
+      |       FROM documents WHERE doc_id % 10 <> 3),
+      |j AS (SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+      |             CASE WHEN old.doc_id IS NULL THEN 'added'
+      |                  WHEN nw.doc_id IS NULL THEN 'removed'
+      |                  WHEN old_md5 <> new_md5 THEN 'changed'
+      |                  ELSE 'unchanged' END AS status
+      |      FROM old FULL JOIN nw ON old.doc_id = nw.doc_id)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+
+  /** Sliding time-window features (the rolling-rate signal behind rate
+    * limits, burst detection and behavioural features): per-user hourly
+    * event counts with a trailing 3-hour RANGE frame sum over the
+    * integer hour index — gaps inside the frame contribute nothing
+    * without densification, which a rowsBetween frame would get wrong.
+    * The window partitions by user_id (no SinglePartition); all counts
+    * integer-exact. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hr = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L).cast("long").as("hour_idx"))
+      .groupBy("user_id", "hour_idx").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy("hour_idx").rangeBetween(-2, 0)
+    hr.withColumn("n_3h", sum("n_events").over(w))
+      .select("user_id", "hour_idx", "n_events", "n_3h")
+      .orderBy("user_id", "hour_idx")
+  }
+
+  private val o72 =
+    """WITH hr AS (
+      |  SELECT user_id,
+      |         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, hour_idx, n_events,
+      |       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY hour_idx
+      |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+      |FROM hr ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2230,7 +2299,9 @@ object Queries {
     "q67_augment_image" -> (q67 _),
     "q68_source_profile" -> (q68 _),
     "q69_source_overlap" -> (q69 _),
-    "q70_tile_pyramid" -> (q70 _)
+    "q70_tile_pyramid" -> (q70 _),
+    "q71_snapshot_diff" -> (q71 _),
+    "q72_sliding_window" -> (q72 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2303,6 +2374,8 @@ object Queries {
     "q67_augment_image" -> o67,
     "q68_source_profile" -> o68,
     "q69_source_overlap" -> o69,
-    "q70_tile_pyramid" -> o70
+    "q70_tile_pyramid" -> o70,
+    "q71_snapshot_diff" -> o71,
+    "q72_sliding_window" -> o72
   )
 }

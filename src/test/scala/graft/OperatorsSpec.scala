@@ -1489,6 +1489,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byLevel(4L) == Seq((4L, 0L, 0L, 5L, 15L)))
   }
 
+  test("snapshot diff (q71): added/removed/changed partitions, unchanged suppressed") {
+    val dir = writeDocs((0L to 10L).map(i => (i, s"document body $i")))
+    val got = SparkEntry.queries("q71_snapshot_diff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "removed"), (5L, "changed"), (7L, "added")))
+  }
+
+  test("sliding window (q72): trailing 3h RANGE frame skips gap hours, no densification") {
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(60), 1L, "click", 0.0),          // same hour 0
+      (3L, ts(3600), 1L, "view", 0.0),         // hour 1
+      (4L, ts(4 * 3600), 1L, "click", 0.0),    // hour 4: hour 1 is OUTSIDE [2,4]
+      (5L, ts(30), 2L, "view", 0.0)))
+    val rows = SparkEntry.queries("q72_sliding_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val h0 = rows.filter(_._1 == 1L).map(_._2).min
+    val got = rows.map { case (u, h, n, s3) => (u, h - h0, n, s3) }.toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 2L),
+      (1L, 1L, 1L, 3L),
+      (1L, 4L, 1L, 1L),   // RANGE frame: the hour-1 rollup is 3 hours back
+      (2L, 0L, 1L, 1L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

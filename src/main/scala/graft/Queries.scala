@@ -2229,6 +2229,22 @@ object Queries {
       |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
       |FROM hr ORDER BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment join: see
+    * [[graft.streaming.Streams.segmentHourlyCounts]] — the
+    * dimension-lookup streaming shape (per-micro-batch broadcast, zero
+    * join state), run to completion so it equals the batch
+    * join + windowed rollup the oracle computes. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.segmentHourlyCounts(
+      s, s"$dir/events.parquet", s"$dir/customer.parquet")
+
+  private val o73 =
+    """SELECT date_trunc('hour', ts) AS win_start, c_mktsegment AS segment,
+      |       count(*) AS n,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2301,7 +2317,8 @@ object Queries {
     "q69_source_overlap" -> (q69 _),
     "q70_tile_pyramid" -> (q70 _),
     "q71_snapshot_diff" -> (q71 _),
-    "q72_sliding_window" -> (q72 _)
+    "q72_sliding_window" -> (q72 _),
+    "q73_stream_enrich" -> (q73 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2376,6 +2393,7 @@ object Queries {
     "q69_source_overlap" -> o69,
     "q70_tile_pyramid" -> o70,
     "q71_snapshot_diff" -> o71,
-    "q72_sliding_window" -> o72
+    "q72_sliding_window" -> o72,
+    "q73_stream_enrich" -> o73
   )
 }

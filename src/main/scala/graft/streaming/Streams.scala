@@ -154,6 +154,38 @@ object Streams extends Serializable {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** Stream-STATIC enrichment join (the dimension-lookup shape of every
+    * streaming ingest: events arrive, reference data sits in a table):
+    * the event stream inner-joins a static user→segment dimension —
+    * Spark plans it as a per-micro-batch broadcast hash join, no join
+    * state at all (unlike stream-stream, nothing must wait for the other
+    * side) — then rolls up watermarked hourly windows per segment.
+    * Complete-mode memory sink run to completion on a static dir, so the
+    * result equals the batch join+groupBy exactly (the o73 oracle).
+    * Users without a dimension row drop (inner semantics), pinned by the
+    * unit test. */
+  def segmentHourlyCounts(spark: SparkSession, eventsPath: String,
+                          customerPath: String): DataFrame = {
+    val dim = spark.read.parquet(customerPath)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val static = spark.read.parquet(eventsPath)
+    val stream = spark.readStream.schema(static.schema).parquet(stageDir(eventsPath))
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("n_errors"))
+    val sinkName = "graft_segment_hourly"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .select(col("window.start").as("win_start"), col("segment"), col("n"), col("n_errors"))
+      .orderBy("win_start", "segment")
+  }
+
   /** Per-user streaming sessionization via the DECLARATIVE session
     * window (gap-merged event-time sessions): two events share a session
     * iff their gap is strictly under `gap`; session end = last event +

@@ -1514,6 +1514,25 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 0L, 1L, 1L)))
   }
 
+  test("stream-static enrichment (q73): dim join + windowed rollup, dimension-less user drops") {
+    import spark.implicits._
+    val dir = writeEvents(Seq(
+      (1L, ts(10), 1L, "error", 0.0),
+      (2L, ts(20), 1L, "click", 0.0),
+      (3L, ts(3700), 1L, "click", 0.0),   // hour 1
+      (4L, ts(30), 2L, "error", 0.0),     // user 2: in dim, segment B
+      (5L, ts(40), 9L, "click", 0.0)))    // user 9: NO dim row -> dropped
+    Seq((1L, "A"), (2L, "B"), (3L, "A"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q73_stream_enrich")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", "A", 2L, 1L),
+      ("2024-01-01 00:00:00.0", "B", 1L, 1L),
+      ("2024-01-01 01:00:00.0", "A", 1L, 0L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -203,7 +203,8 @@ object Bench {
       "q62_gapfill_resample", "q63_exact_quantiles", "q64_lm_score",
       "q65_quantize_int8", "q66_kmeans_assign", "q67_augment_image",
       "q68_source_profile", "q69_source_overlap", "q70_tile_pyramid",
-      "q71_snapshot_diff", "q72_sliding_window")
+      "q71_snapshot_diff", "q72_sliding_window", "q74_cube_rollup",
+      "q75_lang_pivot", "q76_curriculum_ntile")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

@@ -2245,6 +2245,75 @@ object Queries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** CUBE rollup over (lang, source) — the multi-grouping-set aggregate
+    * (every OLAP dashboard's subtotal lattice) as ONE pass: Spark's Expand
+    * replicates each input row once per grouping set BEFORE the partial
+    * aggregation absorbs the fanout, so the shuffle carries ~4× distinct
+    * groups, not 4× rows. GROUPING() flags disambiguate a real NULL from
+    * a subtotal row. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
+  private val o74 =
+    """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      |       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |       CAST(GROUPING(source) AS BIGINT) AS g_source,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY CUBE (lang, source) ORDER BY 1, 2""".stripMargin
+
+  /** Language-composition pivot: one row per source, one count column per
+    * language — the wide-format mixture report. The pivot value list is
+    * FIXED (the engine's langid label set), so Spark plans a single
+    * aggregation with no extra distinct-values pass, and absent
+    * (source, lang) cells are exact zeros. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = t(s, dir, "documents")
+      .groupBy("source").pivot("lang", langs).count()
+    langs.foldLeft(p)((df, l) =>
+        df.withColumn(s"n_$l", coalesce(col(l), lit(0L))))
+      .select(col("source") +: langs.map(l => col(s"n_$l")): _*)
+      .orderBy("source")
+  }
+
+  private val o75 =
+    """SELECT source,
+      |       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+      |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+      |       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+      |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Curriculum difficulty buckets: ntile(4) quartile of document length
+    * WITHIN each language, ordered by the deterministic total order
+    * (n_chars, doc_id) — same remainder-to-leading-buckets ntile
+    * definition in Spark and DuckDB, so the assignment is engine-exact.
+    * The window partitions by lang (no SinglePartition). */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).cast("long").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val o76 =
+    """SELECT doc_id, lang, n_chars,
+      |       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2318,7 +2387,10 @@ object Queries {
     "q70_tile_pyramid" -> (q70 _),
     "q71_snapshot_diff" -> (q71 _),
     "q72_sliding_window" -> (q72 _),
-    "q73_stream_enrich" -> (q73 _)
+    "q73_stream_enrich" -> (q73 _),
+    "q74_cube_rollup" -> (q74 _),
+    "q75_lang_pivot" -> (q75 _),
+    "q76_curriculum_ntile" -> (q76 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2394,6 +2466,9 @@ object Queries {
     "q70_tile_pyramid" -> o70,
     "q71_snapshot_diff" -> o71,
     "q72_sliding_window" -> o72,
-    "q73_stream_enrich" -> o73
+    "q73_stream_enrich" -> o73,
+    "q74_cube_rollup" -> o74,
+    "q75_lang_pivot" -> o75,
+    "q76_curriculum_ntile" -> o76
   )
 }

@@ -1533,6 +1533,52 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "A", 1L, 0L)))
   }
 
+  test("cube rollup (q74): full subtotal lattice with grouping flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq((0L, "x", "en", "A", 10L), (1L, "x", "en", "A", 20L),
+        (2L, "x", "fr", "A", 5L), (3L, "x", "en", "B", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q74_cube_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("en", "A", 0L, 0L, 2L, 30L), ("en", "B", 0L, 0L, 1L, 7L),
+      ("fr", "A", 0L, 0L, 1L, 5L),
+      ("en", "ALL", 0L, 1L, 3L, 37L), ("fr", "ALL", 0L, 1L, 1L, 5L),
+      ("ALL", "A", 1L, 0L, 3L, 35L), ("ALL", "B", 1L, 0L, 1L, 7L),
+      ("ALL", "ALL", 1L, 1L, 4L, 42L)))
+  }
+
+  test("lang pivot (q75): fixed value list, exact zero fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq((0L, "x", "en", "A"), (1L, "x", "en", "A"), (2L, "x", "fr", "A"), (3L, "x", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("q75_lang_pivot")(spark, dir)
+    assert(df.columns.toSeq == Seq("source", "n_de", "n_en", "n_es", "n_fr", "n_zh"))
+    val got = df.collect()
+      .map(r => (r.getString(0), (1 to 5).map(r.getLong))).toSeq
+    assert(got == Seq(("A", Seq(0L, 2L, 0L, 1L, 0L)), ("B", Seq(0L, 1L, 0L, 0L, 0L))))
+  }
+
+  test("curriculum ntile (q76): remainder to leading buckets, doc_id tiebreak") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    // en: 6 docs (buckets 2,2,1,1), two with equal length -> doc_id order; fr: 1 doc
+    Seq((0L, "x", "en", 30L), (1L, "x", "en", 10L), (2L, "x", "en", 20L),
+        (3L, "x", "en", 20L), (4L, "x", "en", 40L), (5L, "x", "en", 50L),
+        (6L, "x", "fr", 99L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q76_curriculum_ntile")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // en order: 1(10) 2(20) 3(20) 0(30) 4(40) 5(50) -> buckets 1,1,2,2,3,4
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 0L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 1L))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

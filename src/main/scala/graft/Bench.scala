@@ -204,7 +204,8 @@ object Bench {
       "q65_quantize_int8", "q66_kmeans_assign", "q67_augment_image",
       "q68_source_profile", "q69_source_overlap", "q70_tile_pyramid",
       "q71_snapshot_diff", "q72_sliding_window", "q74_cube_rollup",
-      "q75_lang_pivot", "q76_curriculum_ntile")
+      "q75_lang_pivot", "q76_curriculum_ntile", "q77_funnel",
+      "q78_retention_cohort", "q79_label_centroid", "q80_event_transitions")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

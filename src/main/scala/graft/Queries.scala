@@ -2314,6 +2314,136 @@ object Queries {
       |       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Funnel conversion (view → click → purchase, strictly ordered in
+    * event time): the clickstream staple. Formulated as three
+    * per-user MIN aggregations chained by "strictly after the previous
+    * stage" joins — every shuffle keys on user_id, so at cluster scale
+    * the three stages co-partition and AQE can broadcast the shrinking
+    * stage frames. Timestamps compare at exact microsecond longs
+    * (unix_micros ↔ epoch_us), never as floats. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("us") > col("t_view"))
+      .groupBy("user_id").agg(min("us").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("us") > col("t_click"))
+      .groupBy("user_id").agg(min("us").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+                 + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  private val o77 =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(us) AS t_click FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(us) AS t_purchase FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
+      |SELECT v.user_id, t_view, t_click, t_purchase,
+      |       1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Retention cohort matrix: users grouped by first-seen week, counted
+    * distinct in each subsequent week offset. Weeks are epoch-day
+    * integer arithmetic (day 0 = 1970-01-01), NOT calendar date_trunc —
+    * identical in any engine and free of timezone/week-start semantics.
+    * Two user_id-keyed shuffles (first-seen agg, enrich join) then one
+    * exact countDistinct whose two-phase plan keys on the tiny
+    * (cohort_week, offset) pair. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day_idx"))
+    val first = days.groupBy("user_id")
+      .agg(expr("min(day_idx) div 7").as("cohort_week"))
+    days.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (expr("day_idx div 7") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val o78 =
+    """WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events),
+      |first AS (
+      |  SELECT user_id, min(day_idx) // 7 AS cohort_week FROM days GROUP BY 1)
+      |SELECT cohort_week, day_idx // 7 - cohort_week AS week_offset,
+      |       count(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN first USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-label embedding prototype (class centroid), the building block
+    * of semantic clustering / IVF training / prototype classifiers.
+    * Components are quantized to 2^-20 fixed point BEFORE the sum, so
+    * the cross-row aggregation is an exact long — associative in any
+    * partial-aggregation order — and the final centroid double is
+    * bit-identical across engines (a raw float/double sum would drift
+    * with partition order). Output is long format (label, dim, c): the
+    * shuffle carries quantized longs keyed on (label, dim), never
+    * vectors. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("comp").cast("double") * lit(1048576.0) + lit(0.5)).as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / lit(1048576.0) / col("n").cast("double")).as("centroid"),
+        col("n"))
+      .orderBy("label", "dim")
+
+  private val o79 =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings),
+      |g AS (SELECT label, dim, sum(q) AS s, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT label, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS centroid, n
+      |FROM g ORDER BY label, dim""".stripMargin
+
+  /** Event-type transition matrix (first-order Markov counts over each
+    * user's clickstream): lead() over the per-user (ts, event_id) total
+    * order, then a global (src, dst) count. The window partitions by
+    * user_id — no SinglePartition — and the final aggregate reduces to
+    * |event_types|² rows. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+  }
+
+  private val o80 =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS src,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events)
+      |SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2390,7 +2520,11 @@ object Queries {
     "q73_stream_enrich" -> (q73 _),
     "q74_cube_rollup" -> (q74 _),
     "q75_lang_pivot" -> (q75 _),
-    "q76_curriculum_ntile" -> (q76 _)
+    "q76_curriculum_ntile" -> (q76 _),
+    "q77_funnel" -> (q77 _),
+    "q78_retention_cohort" -> (q78 _),
+    "q79_label_centroid" -> (q79 _),
+    "q80_event_transitions" -> (q80 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2469,6 +2603,10 @@ object Queries {
     "q73_stream_enrich" -> o73,
     "q74_cube_rollup" -> o74,
     "q75_lang_pivot" -> o75,
-    "q76_curriculum_ntile" -> o76
+    "q76_curriculum_ntile" -> o76,
+    "q77_funnel" -> o77,
+    "q78_retention_cohort" -> o78,
+    "q79_label_centroid" -> o79,
+    "q80_event_transitions" -> o80
   )
 }

@@ -1579,6 +1579,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 0L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 1L))
   }
 
+  test("funnel (q77): strict stage ordering, partial funnels, null stages") {
+    val dir = writeEvents(Seq(
+      // user 1: full funnel in order
+      (1L, ts(10), 1L, "view", 0.0), (2L, ts(20), 1L, "click", 0.0),
+      (3L, ts(30), 1L, "purchase", 0.0),
+      // user 2: click BEFORE the first view -> doesn't count; no click after
+      (4L, ts(5), 2L, "click", 0.0), (5L, ts(10), 2L, "view", 0.0),
+      // user 3: view+click, purchase at the SAME instant as click (strict >)
+      (6L, ts(10), 3L, "view", 0.0), (7L, ts(20), 3L, "click", 0.0),
+      (8L, ts(20), 3L, "purchase", 0.0),
+      // user 4: purchase only -> no funnel row at all (no view)
+      (9L, ts(10), 4L, "purchase", 0.0)))
+    val got = SparkEntry.queries("q77_funnel")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, false, false, 3L), (2L, true, true, 1L), (3L, false, true, 2L)))
+  }
+
+  test("retention cohort (q78): epoch-week cohorts, distinct users per offset") {
+    val day = 86400L
+    val dir = writeEvents(Seq(
+      // 2024-01-01 is a Monday = epoch day 19723, week 2817 boundary check
+      // user 1 first seen day 0, active day 0 and day 14 (offset 0 and 2)
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(14 * day), 1L, "view", 0.0),
+      (3L, ts(14 * day + 5), 1L, "click", 0.0), // same week: still ONE distinct user
+      // user 2 first seen day 0 -> same cohort as user 1, only offset 0
+      (4L, ts(day), 2L, "view", 0.0),
+      // user 3 first seen day 14 -> later cohort
+      (5L, ts(14 * day), 3L, "view", 0.0)))
+    val got = SparkEntry.queries("q78_retention_cohort")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w0 = (java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L / day) / 7
+    // day 0 and day 1 share an epoch week here only if they fall in the same
+    // floor(day/7) bucket; 2024-01-01 = epoch day 19723, 19723%7 = it lands
+    // mid-bucket, so derive expectations from the same arithmetic:
+    val d0w = 19723L / 7; val d1w = 19724L / 7; val d14w = 19737L / 7
+    assert(w0 == d0w)
+    val expected = Seq(
+      (d0w, 0L, if (d1w == d0w) 2L else 1L)) ++
+      (if (d1w != d0w) Seq((d0w, d1w - d0w, 1L)) else Nil) ++ Seq(
+      (d0w, d14w - d0w, 1L),
+      (d14w, 0L, 1L))
+    assert(got == expected.sortBy(x => (x._1, x._2)))
+  }
+
+  test("label centroid (q79): fixed-point exact mean, long format") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq((0L, Array(1.0f, -0.5f), 1), (1L, Array(0.0f, 0.5f), 1),
+        (2L, Array(0.25f, 0.25f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q79_label_centroid")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0.5, 2L), (1L, 1L, 0.0, 2L),
+      (2L, 0L, 0.25, 1L), (2L, 1L, 0.25, 1L)))
+  }
+
+  test("event transitions (q80): per-user lead order, cross-user boundary excluded") {
+    val dir = writeEvents(Seq(
+      (1L, ts(10), 1L, "view", 0.0), (2L, ts(20), 1L, "click", 0.0),
+      (3L, ts(30), 1L, "view", 0.0),
+      // user 2 starts with purchase: no transition from user 1's last view
+      (4L, ts(40), 2L, "purchase", 0.0), (5L, ts(50), 2L, "view", 0.0),
+      // same-ts tie within user 2 broken by event_id: view(5) -> click(6)? no —
+      // 6 has same ts as 5, event_id order puts 5 before 6
+      (6L, ts(50), 2L, "click", 0.0)))
+    val got = SparkEntry.queries("q80_event_transitions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("click", "view", 1L), ("purchase", "view", 1L),
+      ("view", "click", 2L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

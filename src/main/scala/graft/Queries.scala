@@ -2444,6 +2444,161 @@ object Queries {
       |SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** HyperLogLog scale constant alpha_m * m^2 * 2^53 for m = 1024
+    * registers, precomputed once so BOTH engines divide the SAME double
+    * literal by the exact integer register sum (libm-free: the whole
+    * sketch is integer max/sum plus one final IEEE division, so the
+    * estimate double is bit-identical in any engine / partition order). */
+  private val HllScale: Double =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 9007199254740992.0
+
+  /** Distributed HyperLogLog distinct-count sketch (m=1024 registers)
+    * per event_type, next to the exact count for calibration. The
+    * classic two-level shape: map-side partial max per (group, register)
+    * — the shuffle carries at most |groups|×1024 tiny rows however many
+    * input rows there are — then one final register fold. Everything
+    * before the single output division is exact integer arithmetic:
+    * register index and 52-bit suffix from md5 hex, rho via the length
+    * of the binary string (no float log2), and the 2^-rho register sum
+    * scaled to 2^53 fixed point (max 1023·2^53 + 2^52 < 2^63, no
+    * overflow). Empty registers enter the sum as (m - n_used)·2^53. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        (conv(substring(col("h"), 1, 3), 16, 10).cast("long") % 1024L).as("bucket"),
+        conv(substring(col("h"), 4, 13), 16, 10).cast("long").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
+    val regs = ev.groupBy("event_type", "bucket").agg(max("rho").as("r"))
+    val sums = regs.groupBy("event_type").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_used"),
+      count(lit(1)).as("n_used"))
+    val exact = t(s, dir, "events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    sums.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_used"),
+        (col("s_used") + (lit(1024L) - col("n_used")) * lit(9007199254740992L)).as("s_total"))
+      .withColumn("est", lit(HllScale) / col("s_total").cast("double"))
+      .select("event_type", "n_exact", "n_used", "s_total", "est")
+      .orderBy("event_type")
+  }
+
+  private val o81 =
+    s"""WITH h AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |         CAST(('0x' || substr(h, 1, 3)) AS BIGINT) % 1024 AS bucket,
+      |         CAST(('0x' || substr(h, 4, 13)) AS BIGINT) AS w
+      |  FROM h),
+      |rho AS (
+      |  SELECT event_type, bucket,
+      |         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+      |  FROM b),
+      |regs AS (
+      |  SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER)) AS s_used,
+      |         count(*) AS n_used
+      |  FROM regs GROUP BY 1),
+      |exact AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+      |SELECT s.event_type, n_exact, n_used,
+      |       s_used + (1024 - n_used) * 9007199254740992 AS s_total,
+      |       ${HllScale} / CAST(s_used + (1024 - n_used) * 9007199254740992 AS DOUBLE) AS est
+      |FROM sums s JOIN exact USING (event_type) ORDER BY 1""".stripMargin
+
+  /** Hybrid-search reciprocal-rank fusion: a keyword ranker (term
+    * frequency of 'spark') and a length ranker, each retrieving its
+    * top-100 via orderBy+limit — Spark plans TakeOrderedAndProject,
+    * the DISTRIBUTED top-k (per-partition heads + driver merge), never
+    * a SinglePartition global window — then RRF-fused
+    * (Σ 1/(60+rank), absent list contributes 0) and re-cut to 20.
+    * All float math is per-row fixed-order, so cross-engine exact. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      expr("size(filter(split(text, ' '), w -> w = 'spark'))").cast("long").as("tf"),
+      col("n_chars"))
+    def top100(df: DataFrame, order: Seq[Column], rname: String): DataFrame = {
+      val w = Window.orderBy(order: _*)
+      df.orderBy(order: _*).limit(100)
+        .withColumn(rname, row_number().over(w).cast("long"))
+        .select(col("doc_id"), col(rname))
+    }
+    val kw = top100(docs.where(col("tf") > 0),
+      Seq(col("tf").desc, col("doc_id")), "r_kw")
+    val ln = top100(docs, Seq(col("n_chars").desc, col("doc_id")), "r_len")
+    kw.join(ln, Seq("doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_kw").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_len").cast("double")), lit(0.0)))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "r_kw", "r_len", "score")
+  }
+
+  private val o82 =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS BIGINT) AS tf,
+      |         n_chars
+      |  FROM documents),
+      |kw AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS r_kw
+      |  FROM docs WHERE tf > 0 QUALIFY r_kw <= 100),
+      |ln AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_len
+      |  FROM docs QUALIFY r_len <= 100)
+      |SELECT doc_id, r_kw, r_len,
+      |       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(r_kw AS DOUBLE)), 0.0::DOUBLE)
+      |     + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(r_len AS DOUBLE)), 0.0::DOUBLE) AS score
+      |FROM kw FULL OUTER JOIN ln USING (doc_id)
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Per-user activity bitmap: one 63-bit word per user, bit i set iff
+    * the user was active on day (first_day + i) — the roaring-bitmap-
+    * style index shape for engagement analytics, built with pure integer
+    * shift/or-as-sum aggregation (distinct (user, offset) first, so the
+    * sum of distinct powers of two IS the bitwise OR). Streak detection
+    * is seven shift-ANDs on the word, no per-day re-scan. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day_idx"))
+    val first = days.groupBy("user_id").agg(min("day_idx").as("first_day"))
+    val offs = days.join(first, "user_id")
+      .select(col("user_id"), (col("day_idx") - col("first_day")).as("off"))
+      .where(col("off") < 63).distinct()
+    offs.groupBy("user_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))")).as("bitmap"),
+        count(lit(1)).as("n_active_days"))
+      .withColumn("has_streak7",
+        (expr("bitmap & (bitmap >> 1) & (bitmap >> 2) & (bitmap >> 3) & " +
+          "(bitmap >> 4) & (bitmap >> 5) & (bitmap >> 6)") =!= 0L).cast("long"))
+      .select("user_id", "bitmap", "n_active_days", "has_streak7")
+      .orderBy("user_id")
+  }
+
+  private val o83 =
+    """WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events),
+      |first AS (SELECT user_id, min(day_idx) AS first_day FROM days GROUP BY 1),
+      |offs AS (
+      |  SELECT DISTINCT d.user_id, day_idx - first_day AS off
+      |  FROM days d JOIN first USING (user_id) WHERE day_idx - first_day < 63),
+      |bm AS (
+      |  SELECT user_id, sum(CAST(1 AS BIGINT) << CAST(off AS INTEGER)) AS bitmap,
+      |         count(*) AS n_active_days
+      |  FROM offs GROUP BY 1)
+      |SELECT user_id, bitmap, n_active_days,
+      |       CASE WHEN (bitmap & (bitmap >> 1) & (bitmap >> 2) & (bitmap >> 3)
+      |                 & (bitmap >> 4) & (bitmap >> 5) & (bitmap >> 6)) <> 0
+      |            THEN 1 ELSE 0 END AS has_streak7
+      |FROM bm ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2524,7 +2679,10 @@ object Queries {
     "q77_funnel" -> (q77 _),
     "q78_retention_cohort" -> (q78 _),
     "q79_label_centroid" -> (q79 _),
-    "q80_event_transitions" -> (q80 _)
+    "q80_event_transitions" -> (q80 _),
+    "q81_hll_distinct" -> (q81 _),
+    "q82_rrf_fusion" -> (q82 _),
+    "q83_activity_bitmap" -> (q83 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2607,6 +2765,9 @@ object Queries {
     "q77_funnel" -> o77,
     "q78_retention_cohort" -> o78,
     "q79_label_centroid" -> o79,
-    "q80_event_transitions" -> o80
+    "q80_event_transitions" -> o80,
+    "q81_hll_distinct" -> o81,
+    "q82_rrf_fusion" -> o82,
+    "q83_activity_bitmap" -> o83
   )
 }

@@ -1653,6 +1653,67 @@ class OperatorsSpec extends AnyFunSuite {
       ("view", "click", 2L)))
   }
 
+  test("hll distinct (q81): register math matches independent sketch; error < 10%") {
+    val n = 5000
+    val rows = (0 until n).map(i =>
+      (i.toLong, ts(i.toLong), (i * 7 + 3).toLong, "view", 0.0))
+    val dir = writeEvents(rows)
+    val out = SparkEntry.queries("q81_hll_distinct")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == n) // n_exact
+    // independent re-derivation of the register sketch from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Long](1024)
+    (0 until n).foreach { i =>
+      val hex = md.digest(((i * 7 + 3).toLong.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      val bucket = (java.lang.Long.parseLong(hex.substring(0, 3), 16) % 1024L).toInt
+      val w = java.lang.Long.parseLong(hex.substring(3, 16), 16)
+      val rho = if (w == 0L) 53L else 53L - java.lang.Long.toBinaryString(w).length
+      regs(bucket) = math.max(regs(bucket), rho)
+    }
+    val sTotal = regs.map(rr => 1L << (53 - rr)).sum
+    assert(r.getLong(3) == sTotal)
+    val est = r.getDouble(4)
+    assert(math.abs(est - n) / n < 0.10, s"HLL est $est vs exact $n")
+  }
+
+  test("rrf fusion (q82): absent-list zero contribution, rank arithmetic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq((0L, "spark spark spark", "en", "A", 5L),  // kw rank 1, len rank 4
+        (1L, "spark spark x", "en", "A", 100L),    // kw rank 2, len rank 1
+        (2L, "no match here", "en", "A", 50L),     // kw absent, len rank 2
+        (3L, "spark", "en", "A", 7L))              // kw rank 3, len rank 3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q82_rrf_fusion")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    def s(r: Int) = 1.0 / (60.0 + r)
+    assert(math.abs(got(0L) - (s(1) + s(4))) < 1e-15)
+    assert(math.abs(got(1L) - (s(2) + s(1))) < 1e-15)
+    assert(math.abs(got(2L) - s(2)) < 1e-15)     // keyword list absent -> 0
+    assert(math.abs(got(3L) - (s(3) + s(3))) < 1e-15)
+  }
+
+  test("activity bitmap (q83): or-as-sum distinct powers, 7-day streak") {
+    val day = 86400L
+    val dir = writeEvents(
+      // user 1: days 0..6 relative to first -> streak7; duplicate day 0 event
+      (0 to 6).map(d => ((d + 10).toLong, ts(d * day), 1L, "view", 0.0)) ++ Seq(
+        (20L, ts(30), 1L, "click", 0.0),           // same day 0 again (distinct!)
+        // user 2: days 0,2,4 -> no streak; day 70 beyond 63-bit window dropped
+        (21L, ts(0), 2L, "view", 0.0), (22L, ts(2 * day), 2L, "view", 0.0),
+        (23L, ts(4 * day), 2L, "view", 0.0), (24L, ts(70 * day), 2L, "view", 0.0)))
+    val got = SparkEntry.queries("q83_activity_bitmap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0x7fL, 7L, 1L),
+      (2L, (1L | (1L << 2) | (1L << 4)), 3L, 0L)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -1714,6 +1714,23 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, (1L | (1L << 2) | (1L << 4)), 3L, 0L)))
   }
 
+  test("q81/q82 plans: bounded-shuffle sketch, distributed top-k retrieval") {
+    val sf = "/root/testdata/sf0.001"
+    // q81: the sketch aggregates partially before the exchange and never
+    // joins all-pairs; q82: both rankers cut via TakeOrderedAndProject
+    // (distributed top-k), not a SinglePartition window over the corpus.
+    val p81 = SparkEntry.queries("q81_hll_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"))
+    assert(p81.contains("partial_max") || p81.contains("partial_"),
+      "q81 register build must partial-aggregate map-side")
+    val p82 = SparkEntry.queries("q82_rrf_fusion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p82.contains("TakeOrderedAndProject"),
+      "q82 rankers must retrieve via distributed top-k")
+    assert(!p82.contains("CartesianProduct"))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

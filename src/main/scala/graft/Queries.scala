@@ -2599,6 +2599,151 @@ object Queries {
       |            THEN 1 ELSE 0 END AS has_streak7
       |FROM bm ORDER BY user_id""".stripMargin
 
+  /** Per-tile exact integer channel sums, the q84 base projection; also
+    * written to [[Sidecars.channelSumsPath]] by Verify's setup so the
+    * oracle can re-derive the corpus statistics from the SAME exact
+    * integers. */
+  private[graft] def channelSumsBase(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val (gw, gh, _) = syntheticScale(dir)
+    Synthetic.tiles(s, gw, gh, 64)
+      .select(col("image_id"),
+        ec(graft.media.ChannelSums(ee(col("bytes")))).as("cs"))
+      .select(col("image_id"), col("cs.n_pix").as("n_pix"),
+        col("cs.sum_r").as("sum_r"), col("cs.sum_g").as("sum_g"),
+        col("cs.sum_b").as("sum_b"), col("cs.sumsq_r").as("sumsq_r"),
+        col("cs.sumsq_g").as("sumsq_g"), col("cs.sumsq_b").as("sumsq_b"))
+  }
+
+  /** Corpus channel-normalization statistics (the per-channel mean/std a
+    * training pipeline bakes into its input transform): per-tile exact
+    * integer sums from the shared decode pass, ONE global aggregation of
+    * longs — associative, so partition order can't move the result —
+    * then mean/std doubles derived from the exact integers (sqrt is
+    * IEEE-correctly-rounded, so even std hash-matches across engines).
+    * The shuffle carries 7 longs per tile; pixels never leave the map
+    * side. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val agg = channelSumsBase(s, dir).agg(
+      sum("n_pix").as("n"),
+      sum("sum_r").as("sr"), sum("sum_g").as("sg"), sum("sum_b").as("sb"),
+      sum("sumsq_r").as("qr"), sum("sumsq_g").as("qg"), sum("sumsq_b").as("qb"))
+    val chans = agg.select(expr(
+      "stack(3, 'b', sb, qb, 'g', sg, qg, 'r', sr, qr) AS (channel, s, q)"),
+      col("n"))
+    chans
+      .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("std", sqrt(col("q").cast("double") / col("n").cast("double")
+        - col("mean") * col("mean")))
+      .select("channel", "n", "s", "q", "mean", "std")
+      .orderBy("channel")
+  }
+
+  private lazy val o84 =
+    s"""WITH a AS (
+       |  SELECT sum(n_pix) AS n, sum(sum_r) AS sr, sum(sum_g) AS sg,
+       |         sum(sum_b) AS sb, sum(sumsq_r) AS qr, sum(sumsq_g) AS qg,
+       |         sum(sumsq_b) AS qb
+       |  FROM read_parquet('${Sidecars.channelSumsPath}/*.parquet')),
+       |c AS (
+       |  SELECT 'b' AS channel, n, sb AS s, qb AS q FROM a
+       |  UNION ALL SELECT 'g', n, sg, qg FROM a
+       |  UNION ALL SELECT 'r', n, sr, qr FROM a),
+       |m AS (
+       |  SELECT channel, n, s, q,
+       |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM c)
+       |SELECT channel, n, s, q, mean,
+       |       sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) AS std
+       |FROM m ORDER BY channel""".stripMargin
+
+  /** Star-schema rollup: fact events against the customer → nation →
+    * region dimension chain, revenue by (region, event_type). The three
+    * dimension joins broadcast (plan-asserted) so the fact table never
+    * shuffles for the join — only the final tiny rollup exchanges. The
+    * revenue sum rides the exact decimal path (dsum). */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    t(s, dir, "events")
+      .join(broadcast(dims), col("user_id") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("revenue"))
+      .orderBy("region", "event_type")
+  }
+
+  private val o85 =
+    """SELECT r_name AS region, event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user engagement trend: exact-integer least-squares slope of
+    * daily event value over epoch days. x (day index) and y (value in
+    * cents) are exact longs, so all five sufficient statistics are
+    * associative integer sums; the slope double comes from ONE division
+    * of exact integers — partition-order independent, cross-engine
+    * bit-identical. Degenerate single-day users yield NULL (den = 0). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val xy = t(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("x"),
+      floor(col("value") * lit(100.0) + lit(0.5)).as("y"))
+    xy.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope",
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
+      .orderBy("user_id")
+  }
+
+  private val o86 =
+    """WITH xy AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT user_id, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+      |FROM s ORDER BY user_id""".stripMargin
+
+  /** Incremental-view-maintenance shape: per-user aggregate states built
+    * independently over two time slices (before/after 2024-01-16), then
+    * MERGED by re-aggregating the partial states — count and exact
+    * decimal sum are re-aggregatable, so merge(partials) ≡ aggregate
+    * (full scan), which is what the oracle computes directly. This is
+    * the algebra that lets a 100 TB pipeline maintain daily aggregates
+    * by folding in one day's delta instead of rescanning the corpus. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    def slice(p: Column => Column): DataFrame =
+      t(s, dir, "events").where(p(col("ts").cast("timestamp")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v"))
+    slice(_ < cut).unionAll(slice(_ >= cut))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"), sum("v").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  private val o87 =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2682,7 +2827,11 @@ object Queries {
     "q80_event_transitions" -> (q80 _),
     "q81_hll_distinct" -> (q81 _),
     "q82_rrf_fusion" -> (q82 _),
-    "q83_activity_bitmap" -> (q83 _)
+    "q83_activity_bitmap" -> (q83 _),
+    "q84_channel_norm" -> (q84 _),
+    "q85_star_rollup" -> (q85 _),
+    "q86_trend_slope" -> (q86 _),
+    "q87_agg_merge" -> (q87 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2768,6 +2917,10 @@ object Queries {
     "q80_event_transitions" -> o80,
     "q81_hll_distinct" -> o81,
     "q82_rrf_fusion" -> o82,
-    "q83_activity_bitmap" -> o83
+    "q83_activity_bitmap" -> o83,
+    "q84_channel_norm" -> o84,
+    "q85_star_rollup" -> o85,
+    "q86_trend_slope" -> o86,
+    "q87_agg_merge" -> o87
   )
 }

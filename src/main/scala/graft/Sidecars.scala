@@ -33,6 +33,7 @@ object Sidecars {
   val audioSamplesPath = s"$root/media_audio_samples.parquet"
   val kmeansCentroidsPath = s"$root/kmeans_centroids.parquet"
   val augPixelsPath = s"$root/aug_tile_pixels.parquet"
+  val channelSumsPath = s"$root/tiles_channel_sums.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -41,6 +42,10 @@ object Sidecars {
     // q55: per-image quality statistics (exposure/contrast/blur score)
     Queries.imageStatsBase(s, dir).coalesce(1)
       .write.mode("overwrite").parquet(imageStatsPath)
+    // q84: per-tile exact integer channel sums — the oracle re-aggregates
+    // them and must reproduce the engine's corpus mean/std doubles
+    Queries.channelSumsBase(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(channelSumsPath)
     // q32/q33: the flagship per-garden frame (same config as the queries)
     Queries.flagshipFrame(s, dir)
       .select("id", "uprn", "cx", "cy", "area_m2", "npix", "frac_greenleaf")

@@ -190,6 +190,41 @@ case class AudioFeatures(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** channel_sums(bytes) -> struct(n_pix, sum_r, sum_g, sum_b, sumsq_r,
+  * sumsq_g, sumsq_b): exact integer per-channel pixel sums for corpus
+  * normalization statistics (the mean/std constants a training pipeline
+  * bakes into its input transform). Integer sums are associative, so the
+  * corpus-wide aggregation is partition-order independent and the final
+  * mean/std doubles are bit-identical however the cluster re-shards.
+  * Corrupt payloads null out like the other media expressions. */
+case class ChannelSums(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pix", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sumsq_r", LongType, nullable = false),
+    StructField("sumsq_g", LongType, nullable = false),
+    StructField("sumsq_b", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    try {
+      val rst = Codec.decodeBGR(v.asInstanceOf[Array[Byte]])
+      val d = rst.data
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var qr = 0L; var qg = 0L; var qb = 0L
+      var i = 0
+      while (i < d.length) {
+        val b = d(i) & 0xff; val g = d(i + 1) & 0xff; val r = d(i + 2) & 0xff
+        sb += b; sg += g; sr += r
+        qb += b.toLong * b; qg += g.toLong * g; qr += r.toLong * r
+        i += 3
+      }
+      InternalRow(rst.w.toLong * rst.h, sr, sg, sb, qr, qg, qb)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** image_quality_stats(bytes) -> struct(mean_lum, contrast, sharpness)
   * ([[graft.img.Quality.stats]]): the per-image curation statistics of a
   * training-data image filter (exposure / contrast / variance-of-

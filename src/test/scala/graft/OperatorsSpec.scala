@@ -1731,6 +1731,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p82.contains("CartesianProduct"))
   }
 
+  test("channel norm (q84): exact sums match a driver-side pixel scan") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q84_channel_norm")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b", "g", "r"))
+    // independent re-derivation: decode every tile on the driver
+    val tiles = graft.data.Synthetic.tiles(spark, 4, 4, 64)
+      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    var n = 0L; val s = new Array[Long](3); val q = new Array[Long](3)
+    tiles.foreach { b =>
+      val r = graft.img.Codec.decodeBGR(b)
+      n += r.w.toLong * r.h
+      var i = 0
+      while (i < r.data.length) {
+        val v = r.data(i) & 0xff
+        s(i % 3) += v; q(i % 3) += v.toLong * v // data is BGR interleaved
+        i += 1
+      }
+    }
+    out.foreach { row =>
+      val ch = "bgr".indexOf(row.getString(0))
+      assert(row.getLong(1) == n && row.getLong(2) == s(ch) && row.getLong(3) == q(ch))
+      val mean = s(ch).toDouble / n.toDouble
+      assert(row.getDouble(4) == mean)
+      assert(row.getDouble(5) == math.sqrt(q(ch).toDouble / n.toDouble - mean * mean))
+    }
+  }
+
+  test("star rollup (q85): dimension chain broadcasts, fact never shuffles for the join") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q85_star_rollup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not sort-merge for dims")
+    assert(df.count() > 0)
+  }
+
+  test("trend slope (q86): exact integer least squares, single-day null") {
+    val day = 86400L
+    val dir = writeEvents(Seq(
+      // user 1: y = 100 + 50*x_cents pattern over 3 days -> slope 123.45/day
+      (1L, ts(0), 1L, "view", 1.00), (2L, ts(day), 1L, "view", 124.45),
+      (3L, ts(2 * day), 1L, "view", 247.90),
+      // user 2: single day -> den 0 -> NULL slope
+      (4L, ts(10), 2L, "view", 5.0), (5L, ts(20), 2L, "view", 7.0)))
+    val got = SparkEntry.queries("q86_trend_slope")(spark, dir).collect()
+    val u1 = got.find(_.getLong(0) == 1L).get
+    assert(math.abs(u1.getDouble(4) - 12345.0) < 1e-9) // cents/day
+    val u2 = got.find(_.getLong(0) == 2L).get
+    assert(u2.isNullAt(4) && u2.getLong(3) == 0L)
+  }
+
+  test("agg merge (q87): merged partial states equal the full-scan aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val merged = SparkEntry.queries("q87_agg_merge")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = spark.read.parquet(s"$sf/events.parquet").groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged == full)
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -207,7 +207,8 @@ object Bench {
       "q75_lang_pivot", "q76_curriculum_ntile", "q77_funnel",
       "q78_retention_cohort", "q79_label_centroid", "q80_event_transitions",
       "q81_hll_distinct", "q82_rrf_fusion", "q83_activity_bitmap",
-      "q85_star_rollup", "q86_trend_slope", "q87_agg_merge")
+      "q85_star_rollup", "q86_trend_slope", "q87_agg_merge",
+      "q88_cdc_compact")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

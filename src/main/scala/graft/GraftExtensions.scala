@@ -58,7 +58,14 @@ object GraftFunctions {
     // kind in rot90|rot180|rot270|flip_h|flip_v|crop_c
     "graft_augment_image" -> (2, x => graft.img.AugmentImage(x(0), x(1))),
     // (bytes) -> struct(w, h, sum_b, sum_g, sum_r, wsum)
-    "graft_pixel_checksum" -> (1, x => graft.img.PixelChecksum(x(0)))
+    "graft_pixel_checksum" -> (1, x => graft.img.PixelChecksum(x(0))),
+    // (bytes) -> struct(mean_lum, contrast, sharpness)
+    "graft_image_quality" -> (1, x => graft.media.ImageQualityStats(x(0))),
+    // (bytes) -> struct(n_pix, sum_r.., sumsq_r..): exact integer channel
+    // sums for corpus normalization statistics
+    "graft_channel_sums" -> (1, x => graft.media.ChannelSums(x(0))),
+    // (bytes) -> struct(rms, zcr)
+    "graft_audio_features" -> (1, x => graft.media.AudioFeatures(x(0)))
   )
 
   /** Register into an already-created session (the extensions path only

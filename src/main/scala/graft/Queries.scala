@@ -2744,6 +2744,35 @@ object Queries {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CDC latest-record compaction (the upsert-merge step of every
+    * change-capture pipeline): keep the newest record per
+    * (user_id, event_type) under the deterministic (ts, event_id) total
+    * order. One window keyed on the compaction key — no SinglePartition,
+    * no self-join; at 100 TB this is the shape that compacts a day's
+    * change log against itself before merging into the base table. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val o88 =
+    """SELECT user_id, event_type, event_id AS last_event_id,
+      |       epoch_us(ts) AS last_us, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2831,7 +2860,8 @@ object Queries {
     "q84_channel_norm" -> (q84 _),
     "q85_star_rollup" -> (q85 _),
     "q86_trend_slope" -> (q86 _),
-    "q87_agg_merge" -> (q87 _)
+    "q87_agg_merge" -> (q87 _),
+    "q88_cdc_compact" -> (q88 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2921,6 +2951,7 @@ object Queries {
     "q84_channel_norm" -> o84,
     "q85_star_rollup" -> o85,
     "q86_trend_slope" -> o86,
-    "q87_agg_merge" -> o87
+    "q87_agg_merge" -> o87,
+    "q88_cdc_compact" -> o88
   )
 }

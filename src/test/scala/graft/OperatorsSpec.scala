@@ -1794,6 +1794,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("cdc compact (q88): newest record per key, event_id tiebreak") {
+    val dir = writeEvents(Seq(
+      (1L, ts(10), 1L, "view", 1.0), (2L, ts(20), 1L, "view", 2.0),
+      (3L, ts(20), 1L, "view", 3.0),   // same ts as 2: higher event_id wins
+      (4L, ts(5), 1L, "click", 4.0),
+      (5L, ts(99), 2L, "view", 5.0)))
+    val got = SparkEntry.queries("q88_cdc_compact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, "click", 4L, 4.0), (1L, "view", 3L, 3.0), (2L, "view", 5L, 5.0)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

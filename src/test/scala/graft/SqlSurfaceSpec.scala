@@ -71,4 +71,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(o.getInt(0) == 8 && a.getInt(0) == 8 && c.getInt(0) == 4)
     assert(o.getLong(2) == a.getLong(2)) // rot180 preserves channel sums
   }
+
+  test("media stats functions usable from SQL") {
+    import spark.implicits._
+    val tile = graft.data.Synthetic.makeTile(401, 126, 8, 11L)
+    Seq((tile.image_id, tile.bytes)).toDF("image_id", "bytes")
+      .createOrReplaceTempView("sql_surface_stats")
+    val r = spark.sql(
+      """SELECT graft_channel_sums(bytes) AS cs,
+        |       graft_image_quality(bytes) AS q
+        |FROM sql_surface_stats""".stripMargin).collect()(0)
+    val cs = r.getStruct(0)
+    assert(cs.getLong(0) == 64) // 8x8 pixels
+    // channel sums bounded by 255 * n_pix and squares consistent
+    (1 to 3).foreach(i => assert(cs.getLong(i) >= 0 && cs.getLong(i) <= 255L * 64))
+    (4 to 6).foreach(i => assert(cs.getLong(i) >= 0 && cs.getLong(i) <= 255L * 255L * 64))
+    val q = r.getStruct(1)
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(0) <= 255.0)
+    val audio = graft.media.SyntheticMedia.makeAudio(3L, 1600, 7L)
+    Seq((audio.media_id, audio.bytes)).toDF("media_id", "bytes")
+      .createOrReplaceTempView("sql_surface_audio")
+    val a = spark.sql("SELECT graft_audio_features(bytes) AS f FROM sql_surface_audio")
+      .collect()(0).getStruct(0)
+    assert(a.getDouble(0) > 0.0) // non-silent synthetic clip has RMS > 0
+  }
 }

@@ -2773,6 +2773,90 @@ object Queries {
       |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Per-source Gini concentration of document lengths — the corpus-
+    * balance diagnostic (is one source dominated by a few huge docs?).
+    * Rank-weighted sums Σ(i·y) and Σy are exact longs computed under a
+    * per-source window (no SinglePartition), so the final coefficient
+    * G = 2Σ(i·y)/(nΣy) − (n+1)/n is two divisions of exact integers —
+    * deterministic in any partition order. (At 10^10+ rows per source
+    * the Σ(i·y) long would need decimal widening; the shape is
+    * unchanged.) */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        row_number().over(w).cast("long").as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sy"),
+        sum(col("i") * col("n_chars")).as("siy"))
+      .withColumn("gini",
+        (lit(2L) * col("siy")).cast("double") / (col("n") * col("sy")).cast("double")
+          - (col("n") + lit(1L)).cast("double") / col("n").cast("double"))
+      .select("source", "n", "sy", "siy", "gini")
+      .orderBy("source")
+  }
+
+  private val o89 =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*) AS n, sum(n_chars) AS sy,
+      |         sum(i * n_chars) AS siy
+      |  FROM r GROUP BY 1)
+      |SELECT source, n, sy, siy,
+      |       CAST(2 * siy AS DOUBLE) / CAST(n * sy AS DOUBLE)
+      |     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      |FROM g ORDER BY source""".stripMargin
+
+  /** Token-budget apportionment across sources by largest-remainder
+    * (Hamilton) method: allocate a 1,000,000-token budget proportionally
+    * to each source's total characters, exactly — Σalloc == budget by
+    * construction, all integer arithmetic, remainder ties broken by
+    * source name. The per-source totals reduce the corpus to |sources|
+    * rows BEFORE the global windows, so the SinglePartition step only
+    * ever sees the tiny aggregated frame — the legitimate pattern for
+    * global ranking over pre-aggregated keys. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000000L
+    val tot = t(s, dir, "documents")
+      .groupBy("source").agg(sum("n_chars").as("tot"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    tot
+      .withColumn("grand", sum("tot").over(wAll))
+      .withColumn("base", expr(s"($budget * tot) div grand"))
+      .withColumn("rem", expr(s"($budget * tot) % grand"))
+      .withColumn("extra", lit(budget) - sum("base").over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .select("source", "tot", "base", "rem", "alloc")
+      .orderBy("source")
+  }
+
+  private val o90 =
+    """WITH tot AS (
+      |  SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, tot,
+      |         sum(tot) OVER () AS grand,
+      |         (1000000 * tot) // sum(tot) OVER () AS base,
+      |         (1000000 * tot) % sum(tot) OVER () AS rem
+      |  FROM tot),
+      |e AS (
+      |  SELECT source, tot, base, rem,
+      |         1000000 - sum(base) OVER () AS extra,
+      |         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+      |  FROM w)
+      |SELECT source, tot, base, rem,
+      |       base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+      |FROM e ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2861,7 +2945,9 @@ object Queries {
     "q85_star_rollup" -> (q85 _),
     "q86_trend_slope" -> (q86 _),
     "q87_agg_merge" -> (q87 _),
-    "q88_cdc_compact" -> (q88 _)
+    "q88_cdc_compact" -> (q88 _),
+    "q89_source_gini" -> (q89 _),
+    "q90_budget_apportion" -> (q90 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2952,6 +3038,8 @@ object Queries {
     "q85_star_rollup" -> o85,
     "q86_trend_slope" -> o86,
     "q87_agg_merge" -> o87,
-    "q88_cdc_compact" -> o88
+    "q88_cdc_compact" -> o88,
+    "q89_source_gini" -> o89,
+    "q90_budget_apportion" -> o90
   )
 }

@@ -1806,6 +1806,34 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "click", 4L, 4.0), (1L, "view", 3L, 3.0), (2L, "view", 5L, 5.0)))
   }
 
+  test("source gini (q89): zero for equal lengths, hand-checked skew") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq((0L, "x", "en", "A", 10L), (1L, "x", "en", "A", 10L), (2L, "x", "en", "A", 10L),
+        (3L, "x", "en", "B", 1L), (4L, "x", "en", "B", 1L), (5L, "x", "en", "B", 98L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q89_source_gini")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("A") == 0.0) // perfect equality
+    // B: sy=100, siy=1+2+294=297 -> 2*297/300 - 4/3
+    assert(math.abs(got("B") - (594.0 / 300.0 - 4.0 / 3.0)) < 1e-15)
+  }
+
+  test("budget apportion (q90): largest remainder, sums exactly to budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq((0L, "x", "en", "A", 1L), (1L, "x", "en", "B", 1L), (2L, "x", "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q90_budget_apportion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    // 1e6 over 3 equal sources: base 333333 each, one remainder seat to 'A'
+    assert(got == Seq(("A", 333333L, 333334L), ("B", 333333L, 333333L),
+      ("C", 333333L, 333333L)))
+    assert(got.map(_._3).sum == 1000000L)
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -2857,6 +2857,151 @@ object Queries {
       |       base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
       |FROM e ORDER BY source""".stripMargin
 
+  /** Robust per-source outlier profile via median / MAD (the
+    * quality-filter calibration pass that mean/std gets wrong on
+    * heavy-tailed corpora). Both medians are picked from VALUE
+    * HISTOGRAMS (distinct-length sized, not corpus sized) with windows
+    * partitioned by source — no SinglePartition anywhere — and the
+    * 3×MAD outlier fence is all-integer, so every output column is an
+    * exact long. Lower median at rank (n+1) div 2 (documented for even
+    * n). */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def groupedMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val hist = df.groupBy("source", valCol).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("source").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("source")
+      hist.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(wn))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("source").agg(min(valCol).as(out))
+    }
+    val docs = t(s, dir, "documents").select("source", "n_chars")
+    val med = groupedMedian(docs, "n_chars", "med")
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = groupedMedian(dev.select("source", "dev"), "dev", "mad")
+    dev.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), first("med").as("med"), first("mad").as("mad"),
+        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select("source", "n", "med", "mad", "n_outliers")
+      .orderBy("source")
+  }
+
+  private val o91 =
+    """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |o AS (SELECT source, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk
+      |      FROM documents),
+      |med AS (SELECT o.source, min(n_chars) AS med
+      |        FROM o JOIN n USING (source) WHERE rk >= (n.n + 1) // 2 GROUP BY 1),
+      |d AS (SELECT dd.source, abs(dd.n_chars - m.med) AS dev
+      |      FROM documents dd JOIN med m USING (source)),
+      |od AS (SELECT source, dev,
+      |         row_number() OVER (PARTITION BY source ORDER BY dev) AS rk
+      |       FROM d),
+      |mad AS (SELECT od.source, min(dev) AS mad
+      |        FROM od JOIN n USING (source) WHERE rk >= (n.n + 1) // 2 GROUP BY 1),
+      |out AS (SELECT d.source,
+      |          CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_outliers
+      |        FROM d JOIN mad USING (source) GROUP BY 1)
+      |SELECT source, n, med, mad, n_outliers
+      |FROM n JOIN med USING (source) JOIN mad USING (source) JOIN out USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** SCD2 validity-interval construction from the raw event stream —
+    * gap-and-island change-data-capture that keeps FULL history as
+    * [valid_from, valid_to) intervals (q88 keeps only the newest row).
+    * Change detection is a lag under the per-user (ts, event_id) total
+    * order; interval ids are a per-user running sum of change flags;
+    * valid_to chains by lead over the per-user interval frame (tiny —
+    * one row per state change). All windows partition by user_id, so
+    * the operator scales with users, never funneling the stream through
+    * one task. Timestamps surface as unix micros (exact longs). */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .withColumn("prev", lag("event_type", 1)
+        .over(Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("seq", sum("chg").over(w))
+    val iv = flagged.groupBy("user_id", "seq")
+      .agg(first("event_type").as("state"), min("tus").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    iv.withColumn("valid_to",
+        lead("valid_from", 1).over(Window.partitionBy("user_id").orderBy("seq")))
+      .select("user_id", "seq", "state", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "seq")
+  }
+
+  private val o92 =
+    """WITH o AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, tus,
+      |         sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM o),
+      |iv AS (SELECT user_id, CAST(seq AS BIGINT) AS seq,
+      |              min(event_type) AS state, min(tus) AS valid_from,
+      |              count(*) AS n_events
+      |       FROM c GROUP BY 1, 2)
+      |SELECT user_id, seq, state, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to,
+      |       n_events
+      |FROM iv ORDER BY user_id, seq""".stripMargin
+
+  /** Count-Min sketch over per-user event counts — the bounded-memory
+    * frequency sketch for streams too wide for an exact hash aggregate
+    * (the point-query companion to q81's HyperLogLog cardinality and
+    * q61's exact heavy hitters). d=4 hash rows × w=64 buckets from a
+    * portable md5 family; the sketch is built from the PRE-AGGREGATED
+    * (key, count) histogram (equivalent by linearity, far cheaper than
+    * per-event updates), the 256-cell sketch broadcasts, and each key's
+    * estimate is the min over its 4 cells. Pure integer arithmetic; the
+    * one-sided error guarantee (estimate >= truth) is asserted per key. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64
+    val tc = t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+    val hashed = tc
+      .withColumn("j", explode(array((0 until d).map(lit): _*)))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long") % w)
+    val sketch = hashed.groupBy("j", "bucket").agg(sum("true_cnt").as("cell"))
+    hashed.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("user_id").agg(first("true_cnt").as("true_cnt"), min("cell").as("cms_est"))
+      .withColumn("overest", col("cms_est") - col("true_cnt"))
+      .select("user_id", "true_cnt", "cms_est", "overest")
+      .orderBy("user_id")
+  }
+
+  private val o93 =
+    """WITH tc AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+      |h AS (SELECT user_id, true_cnt, j,
+      |        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+      |          CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket
+      |      FROM tc, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |sk AS (SELECT j, bucket, sum(true_cnt) AS cell FROM h GROUP BY 1, 2),
+      |est AS (SELECT h.user_id, min(sk.cell) AS cms_est
+      |        FROM h JOIN sk USING (j, bucket) GROUP BY 1)
+      |SELECT tc.user_id, tc.true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+      |       CAST(cms_est - tc.true_cnt AS BIGINT) AS overest
+      |FROM tc JOIN est USING (user_id) ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -2947,7 +3092,10 @@ object Queries {
     "q87_agg_merge" -> (q87 _),
     "q88_cdc_compact" -> (q88 _),
     "q89_source_gini" -> (q89 _),
-    "q90_budget_apportion" -> (q90 _)
+    "q90_budget_apportion" -> (q90 _),
+    "q91_mad_outliers" -> (q91 _),
+    "q92_scd2_intervals" -> (q92 _),
+    "q93_countmin_sketch" -> (q93 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3040,6 +3188,9 @@ object Queries {
     "q87_agg_merge" -> o87,
     "q88_cdc_compact" -> o88,
     "q89_source_gini" -> o89,
-    "q90_budget_apportion" -> o90
+    "q90_budget_apportion" -> o90,
+    "q91_mad_outliers" -> o91,
+    "q92_scd2_intervals" -> o92,
+    "q93_countmin_sketch" -> o93
   )
 }

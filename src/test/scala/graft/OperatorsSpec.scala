@@ -1834,6 +1834,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == 1000000L)
   }
 
+  test("mad outliers (q91): hand-checked odd and even group sizes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    // A (odd n=5): sorted [1,2,3,4,100] -> med 3; dev [2,1,0,1,97] sorted
+    // [0,1,1,2,97] -> mad 1; fence 3 -> one outlier (97).
+    // B (even n=4): sorted [1,2,3,1000] -> lower med 2; dev [1,0,1,998]
+    // sorted [0,1,1,998] -> mad 1; fence 3 -> one outlier (998).
+    Seq((0L, "A", 1L), (1L, "A", 2L), (2L, "A", 3L), (3L, "A", 4L), (4L, "A", 100L),
+        (5L, "B", 1L), (6L, "B", 2L), (7L, "B", 3L), (8L, "B", 1000L))
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q91_mad_outliers")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("A", 5L, 3L, 1L, 1L), ("B", 4L, 2L, 1L, 1L)))
+  }
+
+  test("scd2 intervals (q92): change capture, interval chaining, ts tiebreak") {
+    // user 1: view@10, view@20, click@30, view@40 -> 3 intervals;
+    // user 2: two events at the SAME ts with different types — the
+    // event_id tiebreak makes the order (and so the intervals) total.
+    val dir = writeEvents(Seq(
+      (1L, ts(10), 1L, "view", 0.0), (2L, ts(20), 1L, "view", 0.0),
+      (3L, ts(30), 1L, "click", 0.0), (4L, ts(40), 1L, "view", 0.0),
+      (5L, ts(7), 2L, "b", 0.0), (6L, ts(7), 2L, "a", 0.0)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def us(sec: Long) = base + sec * 1000000L
+    val got = SparkEntry.queries("q92_scd2_intervals")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "view", us(10), us(30), 2L),
+      (1L, 2L, "click", us(30), us(40), 1L),
+      (1L, 3L, "view", us(40), -1L, 1L),
+      (2L, 1L, "b", us(7), us(7), 1L),   // event_id 5 first, then 6
+      (2L, 2L, "a", us(7), -1L, 1L)))
+  }
+
+  test("countmin sketch (q93): one-sided error, exact when collision-free") {
+    val dir = writeEvents(
+      (1L to 10L).flatMap(u => (1L to u).map(i => (u * 100 + i, ts(i), u, "e", 0.0))))
+    val got = SparkEntry.queries("q93_countmin_sketch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == (1L to 10L))
+    assert(got.forall { case (u, t, e, o) => t == u && e >= t && o == e - t && o >= 0 })
+    // 10 keys x 4 rows into 64 buckets: the min over 4 independent cells
+    // is exact unless a key collides in ALL rows - astronomically
+    // unlikely here, and pinned by the DuckDB oracle at sf0.01 anyway.
+    assert(got.count { case (_, t, e, _) => e == t } >= 8)
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

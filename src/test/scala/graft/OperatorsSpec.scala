@@ -1885,6 +1885,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.count { case (_, t, e, _) => e == t } >= 8)
   }
 
+  test("plan shapes (q89/q91/q92/q93): keyed windows only; q93 sketch broadcasts") {
+    val dir = "/root/testdata/sf0.001"
+    // q89/q91 windows partition by source, q92 by user_id — none may
+    // funnel the corpus through a SinglePartition exchange. (q90 is
+    // exempt by design: its global window runs over the pre-aggregated
+    // |sources|-row frame.)
+    for (q <- Seq("q89_source_gini", "q91_mad_outliers", "q92_scd2_intervals")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$q funnels through one task:\n$plan")
+    }
+    val p93 = SparkEntry.queries("q93_countmin_sketch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p93.contains("BroadcastHashJoin"), s"q93 sketch must broadcast:\n$p93")
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -2971,7 +2971,11 @@ object Queries {
     * (key, count) histogram (equivalent by linearity, far cheaper than
     * per-event updates), the 256-cell sketch broadcasts, and each key's
     * estimate is the min over its 4 cells. Pure integer arithmetic; the
-    * one-sided error guarantee (estimate >= truth) is asserted per key. */
+    * one-sided error guarantee (estimate >= truth) is asserted per key.
+    * (Complements [[graft.functions.Cms]], which uses Spark's built-in
+    * sketch as a plan-changing heavy-hitter PREFILTER inside q61 —
+    * here the estimates themselves are the product, built from a
+    * portable hash family DuckDB can re-derive.) */
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val d = 4
     val w = 64
@@ -3001,6 +3005,45 @@ object Queries {
       |SELECT tc.user_id, tc.true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
       |       CAST(cms_est - tc.true_cnt AS BIGINT) AS overest
       |FROM tc JOIN est USING (user_id) ORDER BY user_id""".stripMargin
+
+  /** Inverted-index construction: term → (document frequency, corpus
+    * frequency, posting-list head). The tf stage is one hash agg over
+    * (term, doc_id); df/cf are ordinary longs; the HEAD (the K=32
+    * smallest doc ids) comes from [[graft.functions.MinKLongs]], a
+    * bounded-state TypedImperativeAggregate — O(K) state per term with
+    * map-side combine, where a window row_number would sort a hot
+    * term's (stopword's) entire posting list in one task and
+    * collect_list would hold it all in one buffer. Head ids surface as
+    * a comma-joined string so the oracle compare is order-exact. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val head = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinKLongs(
+        org.apache.spark.sql.GraftBridge.expression(col("doc_id")), 32)
+        .toAggregateExpression())
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"), head.as("ids"))
+      .withColumn("head_ids",
+        expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
+      .select("term", "df", "cf", "head_ids")
+      .orderBy("term")
+  }
+
+  private val o94 =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT term, doc_id, count(*) AS tf
+      |       FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+      |r AS (SELECT term, doc_id, tf,
+      |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+      |      FROM tf)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      |       string_agg(CASE WHEN rk <= 32 THEN CAST(doc_id AS VARCHAR) END,
+      |                  ',' ORDER BY doc_id) AS head_ids
+      |FROM r GROUP BY term ORDER BY term""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -3095,7 +3138,8 @@ object Queries {
     "q90_budget_apportion" -> (q90 _),
     "q91_mad_outliers" -> (q91 _),
     "q92_scd2_intervals" -> (q92 _),
-    "q93_countmin_sketch" -> (q93 _)
+    "q93_countmin_sketch" -> (q93 _),
+    "q94_inverted_index" -> (q94 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3191,6 +3235,7 @@ object Queries {
     "q90_budget_apportion" -> o90,
     "q91_mad_outliers" -> o91,
     "q92_scd2_intervals" -> o92,
-    "q93_countmin_sketch" -> o93
+    "q93_countmin_sketch" -> o93,
+    "q94_inverted_index" -> o94
   )
 }

@@ -1900,6 +1900,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p93.contains("BroadcastHashJoin"), s"q93 sketch must broadcast:\n$p93")
   }
 
+  test("MinKLongs: equals sort+slice under any partitioning; bounded state") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(i => (s"k${i % 7}", rnd.nextLong() >>> 1))
+    val df = rows.toDF("key", "v")
+    def minK(d: org.apache.spark.sql.DataFrame) = d.groupBy("key")
+      .agg(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinKLongs(
+          org.apache.spark.sql.GraftBridge.expression(col("v")), 32)
+          .toAggregateExpression()).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val expect = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted.take(32).toList }
+    assert(minK(df) == expect)                       // 1 partition path
+    assert(minK(df.repartition(13)) == expect)       // merge path exercised
+    // partial (map-side) aggregation must be in the plan: the shuffle
+    // carries <= K longs per (partition, key), never the raw rows
+    val plan = df.repartition(13).groupBy("key")
+      .agg(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinKLongs(
+          org.apache.spark.sql.GraftBridge.expression(col("v")), 32)
+          .toAggregateExpression()).as("ids"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg:\n$plan")
+    assert(plan.contains("partial_min_k_longs"), s"no partial agg:\n$plan")
+  }
+
+  test("inverted index (q94): df/cf/head hand-checked; keyed aggs only") {
+    val dir = writeDocs(Seq(
+      (3L, "b a b"), (1L, "a c"), (2L, "a a d"), (10L, "a")))
+    val df = SparkEntry.queries("q94_inverted_index")(spark, dir)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 5L, "1,2,3,10"),   // head sorted NUMERICALLY, not lexically
+      ("b", 1L, 2L, "3"),
+      ("c", 1L, 1L, "1"),
+      ("d", 1L, 1L, "2")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"q94 funnels through one task:\n$plan")
+    assert(!plan.contains("Window"), s"q94 must not window over postings:\n$plan")
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -3045,6 +3045,79 @@ object Queries {
       |                  ',' ORDER BY doc_id) AS head_ids
       |FROM r GROUP BY term ORDER BY term""".stripMargin
 
+  /** BM25-shaped ranked retrieval over the corpus for a fixed query
+    * term set — the scoring companion to q94's index build and q82's
+    * rank fusion. Engine-portable numerics: idf is the RATIONAL
+    * Robertson form (2N−2df+1)/(2df+1) — one division of exact
+    * integers, no ln() whose last ulp differs between libm
+    * implementations — and each per-term score quantizes to 2^20
+    * fixed point BEFORE the per-doc sum, so the cross-row accumulation
+    * is exact long addition (bit-stable under AQE re-partitioning; the
+    * q79/q84 pattern). dl/avgdl is computed as (dl·N)/ΣDL — again one
+    * division of exact longs. Scale shape: doc length is a map-side
+    * array `size` (the full token stream is NEVER shuffled — only the
+    * few tokens matching the query terms survive the explode+filter),
+    * df/global frames broadcast, the only shuffles key on doc_id, and
+    * the top-20 cut is a distributed TakeOrderedAndProject, never a
+    * global sort. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("hash", "window", "spark")
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      filter(split(col("text"), " "), x => length(x) > 0).as("toks"))
+    val dl = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .filter(col("dl") > 0) // empty docs carry no terms: match the token-derived frame
+    val g = dl.agg(count(lit(1)).as("n"), sum("dl").as("dlt"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(g))
+      .withColumn("idf",
+        (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)).cast("double")
+          / (lit(2L) * col("df") + lit(1L)).cast("double"))
+      .withColumn("x",
+        (col("dl") * col("n")).cast("double") / col("dlt").cast("double"))
+      .withColumn("sq", floor(
+        col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("x")))
+          * lit(1048576.0)).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("sq").as("score_q"))
+      .withColumn("score", col("score_q").cast("double") / lit(1048576.0))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "n_terms", "score_q", "score")
+  }
+
+  private val o95 =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+      |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlt FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+      |       WHERE term IN ('hash', 'window', 'spark') GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(
+      |      (CAST(2 * g.n - 2 * dft.df + 1 AS DOUBLE) / CAST(2 * dft.df + 1 AS DOUBLE))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(dl.dl * g.n AS DOUBLE) / CAST(g.dlt AS DOUBLE))))
+      |      * 1048576.0) AS BIGINT) AS sq
+      |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), g)
+      |SELECT doc_id, count(*) AS n_terms, CAST(sum(sq) AS BIGINT) AS score_q,
+      |       CAST(sum(sq) AS DOUBLE) / 1048576.0 AS score
+      |FROM sc GROUP BY 1
+      |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3139,7 +3212,8 @@ object Queries {
     "q91_mad_outliers" -> (q91 _),
     "q92_scd2_intervals" -> (q92 _),
     "q93_countmin_sketch" -> (q93 _),
-    "q94_inverted_index" -> (q94 _)
+    "q94_inverted_index" -> (q94 _),
+    "q95_bm25_topk" -> (q95 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3236,6 +3310,7 @@ object Queries {
     "q91_mad_outliers" -> o91,
     "q92_scd2_intervals" -> o92,
     "q93_countmin_sketch" -> o93,
-    "q94_inverted_index" -> o94
+    "q94_inverted_index" -> o94,
+    "q95_bm25_topk" -> o95
   )
 }

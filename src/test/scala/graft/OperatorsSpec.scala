@@ -1943,6 +1943,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"q94 must not window over postings:\n$plan")
   }
 
+  test("bm25 topk (q95): scores replicate the formula exactly; distributed top-k") {
+    val dir = writeDocs(Seq(
+      (1L, "hash window hash"), (2L, "hash spark"), (3L, "other other other window")))
+    // replicate the engine's exact double expression tree
+    val n = 3L; val dlt = 9L
+    def sq(tf: Long, df: Long, dl: Long): Long = {
+      val idf = (2 * n - 2 * df + 1).toDouble / (2 * df + 1).toDouble
+      val x = (dl * n).toDouble / dlt.toDouble
+      math.floor(idf * (tf.toDouble * 2.2)
+        / (tf.toDouble + 1.2 * (0.25 + 0.75 * x)) * 1048576.0).toLong
+    }
+    val expect = Map(
+      1L -> (2L, sq(2, 2, 3) + sq(1, 2, 3)),          // hash x2, window
+      2L -> (2L, sq(1, 2, 2) + sq(1, 1, 2)),          // hash, spark
+      3L -> (1L, sq(1, 2, 4)))                         // window
+    val df = SparkEntry.queries("q95_bm25_topk")(spark, dir)
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // ranking is by quantized score desc then doc_id
+    val order = df.collect().map(_.getLong(0)).toSeq
+    assert(order == expect.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.map(_._1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q95 must cut top-k distributed:\n$plan")
+    // doc length is a map-side array size — the full token stream is never
+    // shuffled. The only explodes in the final plan are the term-FILTERED
+    // tf path and its dft distinct recompute (both discard non-query tokens
+    // before any Exchange).
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val nGen = finalPlan.sliding("Generate".length).count(_ == "Generate")
+    assert(nGen == 2, s"q95 must explode only on the term-filtered paths (got $nGen):\n$finalPlan")
+    val nFilteredGen =
+      finalPlan.sliding("Filter term".length).count(_ == "Filter term")
+    assert(nFilteredGen == nGen,
+      s"every q95 explode must be term-filtered before any shuffle:\n$finalPlan")
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

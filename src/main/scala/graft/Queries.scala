@@ -3118,6 +3118,180 @@ object Queries {
       |FROM sc GROUP BY 1
       |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Time-gap sessionization: a new session starts when a user's
+    * inter-event gap exceeds 8 hours (the complement to q92's
+    * VALUE-change islands — here the island boundary is temporal).
+    * Session ids are a per-user running sum of gap flags under the
+    * (ts, event_id) total order; all windows partition by user_id, so
+    * the stream never funnels through one task and the operator scales
+    * with users. Timestamps stay exact unix-micro longs end to end. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 28800000000L // 8 h
+    val wo = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .withColumn("prev", lag("tus", 1).over(wo))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_s").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id", "sess")
+      .agg(min("tus").as("t_start"), max("tus").as("t_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("dur_us", col("t_end") - col("t_start"))
+      .select("user_id", "sess", "t_start", "t_end", "n_events", "dur_us")
+      .orderBy("user_id", "sess")
+  }
+
+  private val o96 =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev IS NULL OR tus - prev > 28800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM o)
+      |SELECT user_id, CAST(sess AS BIGINT) AS sess, min(tus) AS t_start,
+      |       max(tus) AS t_end, count(*) AS n_events,
+      |       max(tus) - min(tus) AS dur_us
+      |FROM c GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin
+
+  /** Per-user ranking AUC (Mann-Whitney rank-sum with average-rank tie
+    * handling) of event `value` as a predictor of clicks — the
+    * classifier-evaluation staple for curation-model quality. All-exact
+    * arithmetic: scores quantize to integer cents, the tie-group frame
+    * is the DISTINCT-score histogram (so the per-user window runs over
+    * at most |distinct scores| rows, not events), average ranks are
+    * kept doubled to stay integer (2·avgrank = 2·ranksBelow + c + 1),
+    * and AUC surfaces as the exact rational u2/(2·nPos·nNeg) — one
+    * final correctly-rounded division. Windows partition by user_id. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ties = t(s, dir, "events")
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+      .groupBy("user_id", "cents")
+      .agg(count(lit(1)).as("c"), sum("pos").as("p"))
+    val wb = Window.partitionBy("user_id").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = ties
+      .withColumn("rb", coalesce(sum("c").over(wb), lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(col("p") * (lit(2L) * col("rb") + col("c") + lit(1L))).as("rs2"),
+        sum("p").as("n_pos"), (sum("c") - sum("p")).as("n_neg"))
+      .withColumn("u2", col("rs2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+    per
+      .withColumn("auc", col("u2").cast("double")
+        / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+      .select("user_id", "n_pos", "n_neg", "u2", "auc")
+      .orderBy("user_id")
+  }
+
+  private val o97 =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |ties AS (SELECT user_id, cents, count(*) AS c, sum(pos) AS p
+      |         FROM e GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT user_id, c, p,
+      |         coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY cents
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      |  FROM ties),
+      |per AS (
+      |  SELECT user_id,
+      |         CAST(sum(p * (2 * rb + c + 1)) AS BIGINT) AS rs2,
+      |         CAST(sum(p) AS BIGINT) AS n_pos,
+      |         CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+      |  FROM rk GROUP BY 1)
+      |SELECT user_id, n_pos, n_neg,
+      |       rs2 - n_pos * (n_pos + 1) AS u2,
+      |       CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM per WHERE n_pos > 0 AND n_neg > 0 ORDER BY user_id""".stripMargin
+
+  /** Cohen's kappa inter-annotator agreement between the stored `lang`
+    * label and q14's heuristic language-ID — chance-corrected agreement
+    * as the exact rational (N·agree − Σ_k row_k·col_k) /
+    * (N² − Σ_k row_k·col_k), computed entirely in longs with ONE final
+    * division. The confusion matrix is deliberately non-square (the
+    * heuristic's domain {en,fr,de} ⊂ the label domain) — classes
+    * missing on either side contribute 0 to the chance term via the
+    * inner class join. Output is the full confusion frame with
+    * marginals; the kappa scalars broadcast onto every cell row. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    def hits(words: Seq[String]): Column =
+      words.map(wd => size(split(low, s"\\b$wd\\b")) - 1).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val fr = hits(Seq("le", "la", "et", "est"))
+    val de = hits(Seq("der", "und", "die", "ist"))
+    val lab = t(s, dir, "documents").select(col("lang"),
+      when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de")
+        .as("lang_guess"))
+    val cells = lab.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_cell"))
+    val rows = cells.groupBy("lang").agg(sum("n_cell").as("row_tot"))
+    val cols = cells.groupBy("lang_guess").agg(sum("n_cell").as("col_tot"))
+    val g = cells.agg(sum("n_cell").as("n"),
+      sum(when(col("lang") === col("lang_guess"), col("n_cell")).otherwise(0L))
+        .as("agree"))
+    val pe = rows.join(cols, rows("lang") === cols("lang_guess"))
+      .agg(coalesce(sum(col("row_tot") * col("col_tot")), lit(0L)).as("pe_sum"))
+    cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "lang_guess")
+      .crossJoin(broadcast(g)).crossJoin(broadcast(pe))
+      .withColumn("kappa_num", col("n") * col("agree") - col("pe_sum"))
+      .withColumn("kappa_den", col("n") * col("n") - col("pe_sum"))
+      .withColumn("kappa",
+        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+      .select("lang", "lang_guess", "n_cell", "row_tot", "col_tot",
+        "kappa_num", "kappa_den", "kappa")
+      .orderBy("lang", "lang_guess")
+  }
+
+  private val o98 =
+    """WITH lab AS (
+      |  SELECT lang,
+      |    CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |         WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess
+      |  FROM (
+      |    SELECT lang,
+      |      len(string_split_regex(lower(text), '\bthe\b')) - 1 + len(string_split_regex(lower(text), '\band\b')) - 1
+      |        + len(string_split_regex(lower(text), '\bof\b')) - 1 + len(string_split_regex(lower(text), '\bis\b')) - 1 AS en_hits,
+      |      len(string_split_regex(lower(text), '\ble\b')) - 1 + len(string_split_regex(lower(text), '\bla\b')) - 1
+      |        + len(string_split_regex(lower(text), '\bet\b')) - 1 + len(string_split_regex(lower(text), '\best\b')) - 1 AS fr_hits,
+      |      len(string_split_regex(lower(text), '\bder\b')) - 1 + len(string_split_regex(lower(text), '\bund\b')) - 1
+      |        + len(string_split_regex(lower(text), '\bdie\b')) - 1 + len(string_split_regex(lower(text), '\bist\b')) - 1 AS de_hits
+      |    FROM documents)),
+      |cells AS (SELECT lang, lang_guess, count(*) AS n_cell FROM lab GROUP BY 1, 2),
+      |r AS (SELECT lang, sum(n_cell) AS row_tot FROM cells GROUP BY 1),
+      |c AS (SELECT lang_guess, sum(n_cell) AS col_tot FROM cells GROUP BY 1),
+      |g AS (SELECT sum(n_cell) AS n,
+      |             sum(CASE WHEN lang = lang_guess THEN n_cell ELSE 0 END) AS agree
+      |      FROM cells),
+      |pe AS (SELECT coalesce(sum(r.row_tot * c.col_tot), 0) AS pe_sum
+      |       FROM r JOIN c ON r.lang = c.lang_guess)
+      |SELECT cells.lang, cells.lang_guess, cells.n_cell,
+      |       CAST(r.row_tot AS BIGINT) AS row_tot,
+      |       CAST(c.col_tot AS BIGINT) AS col_tot,
+      |       CAST(g.n * g.agree - pe.pe_sum AS BIGINT) AS kappa_num,
+      |       CAST(g.n * g.n - pe.pe_sum AS BIGINT) AS kappa_den,
+      |       CAST(g.n * g.agree - pe.pe_sum AS DOUBLE)
+      |         / CAST(g.n * g.n - pe.pe_sum AS DOUBLE) AS kappa
+      |FROM cells JOIN r USING (lang) JOIN c USING (lang_guess), g, pe
+      |ORDER BY lang, lang_guess""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3213,7 +3387,10 @@ object Queries {
     "q92_scd2_intervals" -> (q92 _),
     "q93_countmin_sketch" -> (q93 _),
     "q94_inverted_index" -> (q94 _),
-    "q95_bm25_topk" -> (q95 _)
+    "q95_bm25_topk" -> (q95 _),
+    "q96_sessionize" -> (q96 _),
+    "q97_rank_auc" -> (q97 _),
+    "q98_cohen_kappa" -> (q98 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3311,6 +3488,9 @@ object Queries {
     "q92_scd2_intervals" -> o92,
     "q93_countmin_sketch" -> o93,
     "q94_inverted_index" -> o94,
-    "q95_bm25_topk" -> o95
+    "q95_bm25_topk" -> o95,
+    "q96_sessionize" -> o96,
+    "q97_rank_auc" -> o97,
+    "q98_cohen_kappa" -> o98
   )
 }

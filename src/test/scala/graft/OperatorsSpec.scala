@@ -1979,6 +1979,67 @@ class OperatorsSpec extends AnyFunSuite {
       s"every q95 explode must be term-filtered before any shuffle:\n$finalPlan")
   }
 
+  test("sessionize (q96): exact 8h gap stays in-session, one past splits; per-user windows") {
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(100), 1L, "view", 0.0),
+      (3L, ts(28900), 1L, "view", 0.0),   // gap == 28800 s exactly: same session
+      (4L, ts(57701), 1L, "view", 0.0),   // gap == 28801 s: new session
+      (5L, ts(50), 2L, "view", 0.0)))
+    val df = SparkEntry.queries("q96_sessionize")(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val M = 1000000L
+    val B = 1704067200L * M // 2024-01-01T00:00:00Z, the writeEvents epoch
+    assert(got == Seq(
+      (1L, 1L, B, B + 28900L * M, 3L, 28900L * M),
+      (1L, 2L, B + 57701L * M, B + 57701L * M, 1L, 0L),
+      (2L, 1L, B + 50L * M, B + 50L * M, 1L, 0L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"q96 funnels through one task:\n$plan")
+  }
+
+  test("rank auc (q97): tie-handling matches brute-force pair counting; single-class users dropped") {
+    val dir = writeEvents(Seq(
+      // user 1: pos at 1.00 and 3.00, neg at 1.00 and 2.00 -> AUC 0.625
+      (1L, ts(1), 1L, "click", 1.00), (2L, ts(2), 1L, "click", 3.00),
+      (3L, ts(3), 1L, "view", 1.00), (4L, ts(4), 1L, "view", 2.00),
+      // user 2: positives only -> dropped
+      (5L, ts(5), 2L, "click", 9.99),
+      // user 3: perfect separation -> AUC 1.0
+      (6L, ts(6), 3L, "click", 5.00), (7L, ts(7), 3L, "view", 4.00)))
+    val df = SparkEntry.queries("q97_rank_auc")(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 5L, 0.625), (3L, 1L, 1L, 2L, 1.0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"q97 funnels through one task:\n$plan")
+  }
+
+  test("cohen kappa (q98): exact rational on a hand-built non-square confusion matrix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc").toString
+    Seq(
+      (0L, "the and of is", "en"), (1L, "the and of is", "en"),
+      (2L, "le la et est", "fr"),
+      (3L, "xxx", "zh"),              // all-zero hits -> guess 'en'
+      (4L, "le la et est", "de"))     // mislabeled: guess 'fr'
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // N=5 agree=3; rows en2 fr1 zh1 de1; cols en3 fr2; pe = 2*3 + 1*2 = 8
+    // kappa = (5*3-8)/(25-8) = 7/17
+    val got = SparkEntry.queries("q98_cohen_kappa")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+    val k = 7.0 / 17.0
+    assert(got == Seq(
+      ("de", "fr", 1L, 1L, 2L, 7L, 17L, k),
+      ("en", "en", 2L, 2L, 3L, 7L, 17L, k),
+      ("fr", "fr", 1L, 1L, 2L, 7L, 17L, k),
+      ("zh", "en", 1L, 1L, 3L, 7L, 17L, k)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

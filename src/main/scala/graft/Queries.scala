@@ -3292,6 +3292,89 @@ object Queries {
       |FROM cells JOIN r USING (lang) JOIN c USING (lang_guess), g, pe
       |ORDER BY lang, lang_guess""".stripMargin
 
+  /** Weighted PageRank (3 unrolled power iterations, damping 0.85) over
+    * the event-type transition graph — the graph-centrality staple,
+    * expressed as pure joins + aggregates so Catalyst plans each
+    * iteration as a broadcast join of the small rank frame against the
+    * big edge list. Engine-portable fixed point throughout: ranks live
+    * at 10^12 scale, edge probabilities quantize to 2^20 (so
+    * rank·share < 2^61 for ANY edge weights — no overflow at scale),
+    * and every step is integer `div` (identical floor semantics in
+    * Spark and DuckDB for the all-positive operands). Dangling nodes
+    * (no out-edges) leak their mass — the documented lost-mass variant;
+    * node count n is a driver-side action over the tiny node frame (the
+    * q63 precedent). Edges scale with the corpus; nodes stay modest. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000000000L // rank scale
+    val P = 1048576L       // 2^20 edge-probability scale
+    val wo = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .withColumn("nxt", lead("event_type", 1).over(wo))
+      .filter(col("nxt").isNotNull)
+    val edges = ev.groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("out_w"))
+    val eshare = edges.join(outw, "src")
+      .withColumn("share", expr(s"w * ${P}L div out_w"))
+      .select("src", "dst", "share")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    val tele = (15L * (S / n)) / 100L
+    var rank = nodes.withColumn("rank", lit(S / n))
+    for (_ <- 1 to 3) {
+      val inflow = eshare
+        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+        .withColumn("c", expr(s"rank * share div ${P}L"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("infl"))
+      rank = nodes.join(inflow, Seq("node"), "left")
+        .withColumn("rank", lit(tele) + expr("85L * coalesce(infl, 0L) div 100L"))
+        .select("node", "rank")
+    }
+    rank.withColumn("pr", col("rank").cast("double") / lit(S.toDouble))
+      .select("node", "rank", "pr").orderBy("node")
+  }
+
+  private val o99 =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+      |          FROM ev WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+      |es AS (SELECT src, dst, (w * 1048576) // out_w AS share
+      |       FROM edges JOIN outw USING (src)),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |g AS (SELECT count(*) AS n FROM nodes),
+      |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, g),
+      |i1 AS (SELECT dst AS node, sum((rank * share) // 1048576) AS infl
+      |       FROM es JOIN r0 ON es.src = r0.node GROUP BY 1),
+      |r1 AS (SELECT nodes.node,
+      |         (15 * (1000000000000 // g.n)) // 100
+      |           + (85 * coalesce(infl, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN i1 USING (node), g),
+      |i2 AS (SELECT dst AS node, sum((rank * share) // 1048576) AS infl
+      |       FROM es JOIN r1 ON es.src = r1.node GROUP BY 1),
+      |r2 AS (SELECT nodes.node,
+      |         (15 * (1000000000000 // g.n)) // 100
+      |           + (85 * coalesce(infl, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN i2 USING (node), g),
+      |i3 AS (SELECT dst AS node, sum((rank * share) // 1048576) AS infl
+      |       FROM es JOIN r2 ON es.src = r2.node GROUP BY 1),
+      |r3 AS (SELECT nodes.node,
+      |         (15 * (1000000000000 // g.n)) // 100
+      |           + (85 * coalesce(infl, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN i3 USING (node), g)
+      |SELECT node, CAST(rank AS BIGINT) AS rank,
+      |       CAST(rank AS DOUBLE) / 1000000000000.0 AS pr
+      |FROM r3 ORDER BY node""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3390,7 +3473,8 @@ object Queries {
     "q95_bm25_topk" -> (q95 _),
     "q96_sessionize" -> (q96 _),
     "q97_rank_auc" -> (q97 _),
-    "q98_cohen_kappa" -> (q98 _)
+    "q98_cohen_kappa" -> (q98 _),
+    "q99_pagerank" -> (q99 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3491,6 +3575,7 @@ object Queries {
     "q95_bm25_topk" -> o95,
     "q96_sessionize" -> o96,
     "q97_rank_auc" -> o97,
-    "q98_cohen_kappa" -> o98
+    "q98_cohen_kappa" -> o98,
+    "q99_pagerank" -> o99
   )
 }

@@ -2040,6 +2040,34 @@ class OperatorsSpec extends AnyFunSuite {
       ("zh", "en", 1L, 1L, 3L, 7L, 17L, k)))
   }
 
+  test("pagerank (q99): fixed-point iterations match an exact driver mirror; rank frame broadcast") {
+    // user 1 path A,B,A,B,C -> edges AB2 BA1 BC1; user 2 path C,A -> edge CA1
+    val dir = writeEvents(Seq(
+      (1L, ts(1), 1L, "A", 0.0), (2L, ts(2), 1L, "B", 0.0), (3L, ts(3), 1L, "A", 0.0),
+      (4L, ts(4), 1L, "B", 0.0), (5L, ts(5), 1L, "C", 0.0),
+      (6L, ts(6), 2L, "C", 0.0), (7L, ts(7), 2L, "A", 0.0)))
+    val S = 1000000000000L; val P = 1048576L
+    val edges = Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("B", "C") -> 1L, ("C", "A") -> 1L)
+    val outw = edges.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val share = edges.map { case ((s0, d), w) => (s0, d) -> w * P / outw(s0) }
+    val n = 3L
+    val tele = 15L * (S / n) / 100L
+    var rank = Map("A" -> S / n, "B" -> S / n, "C" -> S / n)
+    for (_ <- 1 to 3) {
+      val infl = share.toSeq.groupMapReduce(_._1._2) {
+        case ((s0, _), sh) => rank(s0) * sh / P
+      }(_ + _)
+      rank = rank.keys.map(k => k -> (tele + 85L * infl.getOrElse(k, 0L) / 100L)).toMap
+    }
+    val df = SparkEntry.queries("q99_pagerank")(spark, dir)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q99 iteration joins must be equi-joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q99 rank frame should broadcast:\n$plan")
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -3118,13 +3118,17 @@ object Queries {
       |FROM sc GROUP BY 1
       |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
 
-  /** Time-gap sessionization: a new session starts when a user's
-    * inter-event gap exceeds 8 hours (the complement to q92's
-    * VALUE-change islands — here the island boundary is temporal).
+  /** Batch time-gap sessionization with per-user session ORDINALS: a
+    * new session starts when a user's inter-event gap exceeds 8 hours
+    * (the temporal complement to q92's value-change islands). q40 is
+    * the STREAMING formulation of sessionization (session_window /
+    * flatMapGroupsWithState) — it cannot number a user's sessions;
+    * this gap-island window form yields the sequence ids and exact
+    * unix-micro durations a training-data session-feature table needs.
     * Session ids are a per-user running sum of gap flags under the
     * (ts, event_id) total order; all windows partition by user_id, so
     * the stream never funnels through one task and the operator scales
-    * with users. Timestamps stay exact unix-micro longs end to end. */
+    * with users. */
   private def q96(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = 28800000000L // 8 h
@@ -3375,6 +3379,56 @@ object Queries {
       |       CAST(rank AS DOUBLE) / 1000000000000.0 AS pr
       |FROM r3 ORDER BY node""".stripMargin
 
+  /** Model calibration: reliability-diagram bins + expected calibration
+    * error for event `value` (scaled to [0,1]) as a click predictor —
+    * the calibration companion to q97's discrimination AUC. ZERO
+    * cross-row float arithmetic: confidences quantize to integer cents
+    * once per row, bins come from integer division of cents, per-bin
+    * accumulators are exact longs, and the per-bin |accuracy −
+    * confidence| gap folds into ECE through the exact integer
+    * Σ|50000·n_pos − sum_cents| before ONE final division. One hash agg
+    * over the corpus to 10 rows; the ECE scalar broadcasts back. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val bins = t(s, dir, "events")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(expr("cents div 5000L"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("cents").as("sum_cents"))
+    val ece = bins.agg(
+      sum(abs(lit(50000L) * col("n_pos") - col("sum_cents"))).as("ece_num"),
+      sum("n").as("nt"))
+    bins.crossJoin(broadcast(ece))
+      .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("conf",
+        col("sum_cents").cast("double") / (lit(50000L) * col("n")).cast("double"))
+      .withColumn("ece",
+        col("ece_num").cast("double") / (lit(50000L) * col("nt")).cast("double"))
+      .select("bin", "n", "n_pos", "sum_cents", "acc", "conf", "ece_num", "ece")
+      .orderBy("bin")
+  }
+
+  private val o100 =
+    """WITH e AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |b AS (
+      |  SELECT least(cents // 5000, 9) AS bin, count(*) AS n,
+      |         CAST(sum(pos) AS BIGINT) AS n_pos,
+      |         CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY 1),
+      |g AS (SELECT CAST(sum(abs(50000 * n_pos - sum_cents)) AS BIGINT) AS ece_num,
+      |             CAST(sum(n) AS BIGINT) AS nt
+      |      FROM b)
+      |SELECT bin, n, n_pos, sum_cents,
+      |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+      |       CAST(sum_cents AS DOUBLE) / CAST(50000 * n AS DOUBLE) AS conf,
+      |       ece_num,
+      |       CAST(ece_num AS DOUBLE) / CAST(50000 * nt AS DOUBLE) AS ece
+      |FROM b, g ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3474,7 +3528,8 @@ object Queries {
     "q96_sessionize" -> (q96 _),
     "q97_rank_auc" -> (q97 _),
     "q98_cohen_kappa" -> (q98 _),
-    "q99_pagerank" -> (q99 _)
+    "q99_pagerank" -> (q99 _),
+    "q100_calibration" -> (q100 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3576,6 +3631,7 @@ object Queries {
     "q96_sessionize" -> o96,
     "q97_rank_auc" -> o97,
     "q98_cohen_kappa" -> o98,
-    "q99_pagerank" -> o99
+    "q99_pagerank" -> o99,
+    "q100_calibration" -> o100
   )
 }

@@ -2068,6 +2068,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"q99 rank frame should broadcast:\n$plan")
   }
 
+  test("calibration (q100): hand-built bins, exact integer ECE, top-bin clamp") {
+    val dir = writeEvents(Seq(
+      (1L, ts(1), 1L, "click", 0.01),   // cents 1     -> bin 0
+      (2L, ts(2), 1L, "view", 10.00),   // cents 1000  -> bin 0
+      (3L, ts(3), 1L, "click", 100.00), // cents 10000 -> bin 2
+      (4L, ts(4), 1L, "view", 100.00),  // cents 10000 -> bin 2
+      (5L, ts(5), 2L, "view", 499.99),  // cents 49999 -> bin 9
+      (6L, ts(6), 2L, "click", 600.00)))// cents 60000 -> clamped to bin 9
+    val got = SparkEntry.queries("q100_calibration")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSeq
+    // gaps: |50000-1001| + |50000-20000| + |50000-109999| = 48999+30000+59999
+    val eceNum = 138998L
+    val ece = 138998.0 / 300000.0
+    assert(got == Seq(
+      (0L, 2L, 1L, 1001L, 0.5, 1001.0 / 100000.0, eceNum, ece),
+      (2L, 2L, 1L, 20000L, 0.5, 0.2, eceNum, ece),
+      (9L, 2L, 1L, 109999L, 0.5, 109999.0 / 100000.0, eceNum, ece)))
+  }
+
   test("lm score (q64): integer log2 bigram frequencies, hand-checked") {
     val dir = writeDocs(Seq(
       (0L, "a b a b"),  // bigrams: "a b" x2, "b a" x1

@@ -3429,6 +3429,77 @@ object Queries {
       |       CAST(ece_num AS DOUBLE) / CAST(50000 * nt AS DOUBLE) AS ece
       |FROM b, g ORDER BY bin""".stripMargin
 
+  /** The q101 product-quantization codebooks: M=8 subspaces × K=16 codes
+    * over the 64-dim embeddings, trained driver-locally on the bounded
+    * deterministic sample ([[graft.functions.Pq.trainCodebooks]]) —
+    * shared by the query and the [[Sidecars]] codebook dump. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    graft.functions.Pq.trainCodebooks(t(s, dir, "embeddings"), dim = 64, m = 8, k = 16)
+
+  /** IVF-PQ ANN — the compressed-vector completion of the similarity
+    * stack (q16 exact → q27 LSH → q28 IVF+exact-rerank → q101 IVF+PQ):
+    * coarse-quantizer list pruning (4 of 16 lists, the q66 quantizer)
+    * followed by an asymmetric-distance rerank over 1-int-per-subspace
+    * PQ codes — candidates carry ~8 small ints instead of 64 floats, the
+    * shape that makes 10^12-vector rerank IO-feasible. ADC scores are
+    * exact longs (per-(query,m,code) fixed-point quantization BEFORE the
+    * per-candidate sum), so the ranking is bit-stable under any
+    * partitioning. The oracle re-derives the ENTIRE pipeline in SQL over
+    * the centroid + codebook sidecars: coarse assignment, probe lists,
+    * code argmin, table quantization, integer ADC sum, top-k window. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(s, dir)
+    val books = pqCodebooks(s, dir)
+    graft.functions.Pq.ivfPqTopK(t(s, dir, "embeddings"),
+        col("vec_id") % 100 === 0, 10, cents, books, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val o101 =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT cluster, centroid
+       |          FROM read_parquet('${Sidecars.kmeansCentroidsPath}/*.parquet')),
+       |lists AS (
+       |  SELECT v.vec_id, c.cluster,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY list_dot_product(v.e, c.centroid) DESC, c.cluster) AS rn
+       |  FROM e v, cents c),
+       |assign AS (SELECT vec_id, cluster AS list FROM lists WHERE rn = 1),
+       |probes AS (SELECT vec_id, cluster AS list FROM lists
+       |           WHERE rn <= 4 AND vec_id % 100 = 0),
+       |cb AS (SELECT m, code, centroid,
+       |         list_dot_product(centroid, centroid) AS cc
+       |       FROM read_parquet('${Sidecars.pqCodebookPath}/*.parquet')),
+       |sub AS (SELECT v.vec_id, CAST(ms.m AS INT) AS m,
+       |          list_slice(v.e, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |        FROM e v CROSS JOIN (SELECT range AS m FROM range(8)) ms),
+       |dists AS (SELECT s.vec_id, s.m, c.code,
+       |            c.cc - 2 * list_dot_product(s.sv, c.centroid) AS d
+       |          FROM sub s JOIN cb c USING (m)),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |qtab AS (SELECT vec_id AS query_id, m, code,
+       |           CAST(floor(d * 1048576.0) AS BIGINT) AS tq
+       |         FROM dists WHERE vec_id % 100 = 0),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |         FROM probes p JOIN assign a USING (list)
+       |         WHERE p.vec_id <> a.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |             CAST(sum(q.tq) AS BIGINT) AS adc
+       |           FROM cand
+       |           JOIN codes k ON k.vec_id = cand.neighbor_id
+       |           JOIN qtab q ON q.query_id = cand.query_id
+       |                     AND q.m = k.m AND q.code = k.code
+       |           GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3529,7 +3600,8 @@ object Queries {
     "q97_rank_auc" -> (q97 _),
     "q98_cohen_kappa" -> (q98 _),
     "q99_pagerank" -> (q99 _),
-    "q100_calibration" -> (q100 _)
+    "q100_calibration" -> (q100 _),
+    "q101_ivfpq_adc" -> (q101 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3632,6 +3704,7 @@ object Queries {
     "q97_rank_auc" -> o97,
     "q98_cohen_kappa" -> o98,
     "q99_pagerank" -> o99,
-    "q100_calibration" -> o100
+    "q100_calibration" -> o100,
+    "q101_ivfpq_adc" -> o101
   )
 }

@@ -32,6 +32,7 @@ object Sidecars {
   val framePixelsPath = s"$root/media_frame_pixels.parquet"
   val audioSamplesPath = s"$root/media_audio_samples.parquet"
   val kmeansCentroidsPath = s"$root/kmeans_centroids.parquet"
+  val pqCodebookPath = s"$root/pq_codebook.parquet"
   val augPixelsPath = s"$root/aug_tile_pixels.parquet"
   val channelSumsPath = s"$root/tiles_channel_sums.parquet"
 
@@ -78,6 +79,19 @@ object Sidecars {
         .map { case (c, i) => (i, c.toSeq) }
         .toDF("cluster", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(kmeansCentroidsPath)
+    }
+    // q101: the trained PQ codebooks (M×K sub-centroids), so the oracle
+    // re-derives code assignment, ADC table quantization and the integer
+    // rerank over the SAME codebooks the engine used
+    locally {
+      import s.implicits._
+      val books = Queries.pqCodebooks(s, dir)
+      (for {
+        (cb, m) <- books.zipWithIndex
+        (cent, code) <- cb.zipWithIndex
+      } yield (m, code, cent.toSeq)).toSeq
+        .toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath)
     }
     // q30/q34/q35: each flagship case's pre-aggregation fragment frame +
     // garden metadata, so the oracle re-derives the distributed

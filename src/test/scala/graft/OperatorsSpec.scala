@@ -487,6 +487,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == approx)
   }
 
+  test("IVF-PQ ADC rerank: high recall, exact-integer scores, equi-join plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val dim = 16
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(j => (Synthetic.u01(Synthetic.mix2(seed, j)) - 0.5))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 40 WELL-SEPARATED direction clusters of 10: a query's true top-5
+    // are its cluster siblings, separated from other clusters by far
+    // more than the PQ quantization error. (PQ is lossy BY DESIGN at
+    // noise scale — it resolves cluster-level structure, and the exact
+    // intra-candidate order is what the q101 oracle pins instead.)
+    val rows = (0 until 400).map { i =>
+      val cluster = i % 40
+      val center = unit(1000L + cluster)
+      val noise = unit(5000L + i)
+      (i.toLong, center.zip(noise).map { case (a, b) => a + 0.05f * b })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val cents = graft.functions.Ann.trainIvfCentroids(emb, dim, nList = 16)
+    val books = graft.functions.Pq.trainCodebooks(emb, dim, m = 8, k = 16)
+    val df = graft.functions.Pq.ivfPqTopK(emb, c("vec_id") % 40 === 0, k, cents, books, nProbe = 6)
+    val got = df.collect()
+    // cluster-level retrieval: every query has 9 same-cluster siblings;
+    // the returned top-5 must come from them (intra-cluster ORDER at
+    // noise scale is below PQ resolution by design — the q101 oracle
+    // pins the exact ADC ordering instead)
+    val precision = got.count(r => r.getLong(2) % 40 == r.getLong(0) % 40).toDouble / got.length
+    assert(precision >= 0.9, s"IVF-PQ cluster precision = $precision")
+    assert(got.length >= 5 * 8, s"too few results: ${got.length}")
+    // ADC scores are exact longs, ascending within each query, ranks 1..k
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sortBy(identity).toSeq)
+    }
+    // determinism: training + assignment + rerank reproduce bit-for-bit
+    val again = graft.functions.Pq.ivfPqTopK(emb, c("vec_id") % 40 === 0, k,
+        graft.functions.Ann.trainIvfCentroids(emb, dim, nList = 16),
+        graft.functions.Pq.trainCodebooks(emb, dim, m = 8, k = 16), nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet)
+    // candidate generation stays a plain list-id equi-join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "IVF-PQ plan must stay an equi-join")
+  }
+
   test("banded hamming self-join finds exactly the brute-force pairs within radius < nBands") {
     import spark.implicits._
     // deterministic hashes with planted near-dups: flip 1..6 bits of a base

@@ -3500,6 +3500,217 @@ object Queries {
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * where q29 is the exact all-pairs baseline, here vectors are first
+    * bucketed by their nearest spherical-k-means centroid (the q66
+    * coarse quantizer) and the exact fp64 cosine runs ONLY within a
+    * cluster — the candidate generator is a plain equi-join on the
+    * cluster id, so at 10^9+ vectors the pair count is Σ|cluster|² with
+    * nList ~ √N keeping clusters bounded and AQE skew-split handling hot
+    * clusters. Near-dups are injected exactly as q29 (+0.125 on dim 0 of
+    * every 50th vector — a power of two, fp64-bit-exact in any engine)
+    * so true pairs exist at every scale factor; the perturbation is tiny
+    * enough to keep the copy in its source's cluster, and because the
+    * oracle re-derives the SAME assignment from the centroid sidecar,
+    * both engines agree on the bucketing regardless. Each dropped vector
+    * reports its canonical (smallest matching a_id), cluster, match
+    * count and floor(1000·max cos). */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val cents = kmeansCentroids(s, dir)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dups = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
+    val allv = emb.unionAll(dups)
+      .withColumn("cluster",
+        element_at(ec(graft.functions.IvfLists(ee(col("e")), cents, 1)), 1).cast("int"))
+    val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def nrm(c: Column): Column =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val a = allv.select(col("cluster"), col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = allv.select(col("cluster"), col("vec_id").as("b_id"), col("e").as("be"))
+    a.join(b, Seq("cluster")).where(col("a_id") < col("b_id"))
+      .withColumn("cos", dot / (nrm(col("ae")) * nrm(col("be"))))
+      .where(col("cos") >= 0.98)
+      .groupBy(col("cluster"), col("b_id").as("vec_id"))
+      .agg(min("a_id").as("dup_of"), count(lit(1)).as("n_matches"),
+        floor(max(col("cos")) * 1000).cast("int").as("cos_mil"))
+      .select("vec_id", "cluster", "dup_of", "n_matches", "cos_mil")
+      .orderBy("vec_id")
+  }
+
+  private lazy val o102 =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |all_v AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_prepend(e[1] + 0.125, e[2:]) FROM base WHERE vec_id % 50 = 0),
+       |asg AS (SELECT vec_id, e, cluster FROM (
+       |  SELECT v.vec_id, v.e, c.cluster,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY list_dot_product(v.e, c.centroid) DESC, c.cluster) AS rn
+       |  FROM all_v v, read_parquet('${Sidecars.kmeansCentroidsPath}/*.parquet') c)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         list_dot_product(a.e, b.e)
+       |           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT b_id AS vec_id, cluster, min(a_id) AS dup_of, count(*) AS n_matches,
+       |       CAST(floor(max(cos) * 1000) AS INT) AS cos_mil
+       |FROM pairs WHERE cos >= 0.98
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
+  /** Triangle census of the co-purchase graph (parts co-occurring in an
+    * order) via degree-ordered node iteration — the standard distributed
+    * triangle count (Suri & Vassilvitskii MapReduce formulation, public):
+    * every undirected edge is oriented from its lower- to its
+    * higher-(degree, id) endpoint, so each triangle is counted exactly
+    * once at its lowest corner, and — the scale property — a hub of
+    * degree d forms wedges only where it is the SMALLER endpoint,
+    * bounding the wedge fan-out by O(√|E|) per node instead of d².
+    * Every join is an equi-join (orderkey for co-occurrence, node id for
+    * degrees, (b,c) key pair for closure). One exact-integer census row;
+    * the global closure fraction 3·triangles/wedges surfaces as a
+    * floor'd per-mille integer so the compare is exact. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .where(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val keyed = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select((col("du") * 4294967296L + col("u")).as("ku"),
+        (col("dv") * 4294967296L + col("v")).as("kv"))
+    val o = keyed.select(least(col("ku"), col("kv")).as("sk"),
+      greatest(col("ku"), col("kv")).as("dk"))
+    val wedges = o.select(col("sk"), col("dk").as("bk"))
+      .join(o.select(col("sk"), col("dk").as("ck")), "sk")
+      .where(col("bk") < col("ck"))
+    val tri = wedges
+      .join(o.select(col("sk").as("bk"), col("dk").as("ck")), Seq("bk", "ck"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val census = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1L) div 2L")).as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    census.crossJoin(ne).crossJoin(tri)
+      .withColumn("closure_pm", expr("3000L * n_triangles div n_wedges"))
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_pm")
+  }
+
+  private val o103 =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |d AS (SELECT node, count(*) AS deg FROM
+      |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |k AS (SELECT least(du.deg * 4294967296 + e.u, dv.deg * 4294967296 + e.v) AS sk,
+      |             greatest(du.deg * 4294967296 + e.u, dv.deg * 4294967296 + e.v) AS dk
+      |      FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+      |tri AS (SELECT count(*) AS t FROM k w1 JOIN k w2 ON w1.sk = w2.sk AND w1.dk < w2.dk
+      |        JOIN k o ON o.sk = w1.dk AND o.dk = w2.dk)
+      |SELECT (SELECT count(*) FROM d) AS n_nodes,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       CAST((SELECT sum(deg * (deg - 1) // 2) FROM d) AS BIGINT) AS n_wedges,
+      |       (SELECT t FROM tri) AS n_triangles,
+      |       (3000 * (SELECT t FROM tri))
+      |         // CAST((SELECT sum(deg * (deg - 1) // 2) FROM d) AS BIGINT) AS closure_pm""".stripMargin
+
+  /** Feature co-activation gram over the embedding column — the dim×dim
+    * upper triangle of Σ_rows x_i·x_j, the one-pass statistic behind
+    * covariance / PCA feature preparation. Per row the 2080 cell
+    * products quantize to fixed-point longs (floor(x_i·x_j·2^20), all
+    * builtin higher-order functions — codegen'd, no custom scalar), then
+    * the new [[graft.functions.LongArraySum]] bounded-state aggregate
+    * sums them element-wise in a fixed 2080-long buffer: map-side
+    * combine applies and the shuffle carries exactly 2080 longs per
+    * partition — versus the posexplode+groupBy(pos) spelling that
+    * shuffles N·2080 rows (2·10^15 records at corpus scale). Output:
+    * top-20 off-diagonal cells by |gram|, ties to the smaller (i, j). */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val dim = 64
+    val nCells = dim * (dim + 1) / 2
+    val cells = expr(
+      "flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j -> " +
+        "CAST(floor(element_at(e, i + 1) * element_at(e, j + 1) * 1048576.0) AS BIGINT))))")
+    val summed = t(s, dir, "embeddings")
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(cells.as("cells"))
+      .agg(GraftBridge.column(
+        graft.functions.LongArraySum(GraftBridge.expression(col("cells")), nCells)
+          .toAggregateExpression()).as("g"))
+    val ij = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+    val ijDf = s.createDataFrame(ij).toDF("pos", "i", "j")
+    summed.select(posexplode(col("g")).as(Seq("pos", "gram")))
+      .join(broadcast(ijDf), "pos")
+      .where(col("i") < col("j"))
+      .orderBy(abs(col("gram")).desc, col("i"), col("j"))
+      .limit(20)
+      .select("i", "j", "gram")
+  }
+
+  private val o104 =
+    """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |cells AS (
+      |  SELECT i, j,
+      |         CAST(floor(e[CAST(i + 1 AS INT)] * e[CAST(j + 1 AS INT)] * 1048576.0) AS BIGINT) AS v
+      |  FROM e, (SELECT a.range AS i, b.range AS j
+      |           FROM range(64) a, range(64) b WHERE a.range <= b.range)),
+      |g AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(sum(v) AS BIGINT) AS gram
+      |      FROM cells GROUP BY 1, 2)
+      |SELECT i, j, gram FROM g WHERE i < j
+      |ORDER BY abs(gram) DESC, i, j LIMIT 20""".stripMargin
+
+  /** Systematic probability-proportional-to-size sampling — n=100 picks
+    * over documents weighted by n_chars, the corpus-curation primitive
+    * for "sample documents proportional to token count". The weight line
+    * [0, T) is cut at the n odd multiples m·T/(2n); the doc whose
+    * cumulative-weight interval [cum−w, cum) contains a cut is picked
+    * (heavy docs can be picked more than once — that multiplicity IS
+    * pps-with-replacement semantics). Cumulative weights come from the
+    * distributed two-pass [[graft.functions.PrefixSum]] (no
+    * SinglePartition window), and pick assignment is a per-row integer
+    * computation (2n·cb ≤ m·T < 2n·cum, all longs — no float, no range
+    * join): one narrow map-only pass after the prefix sum, versus the
+    * oracle's n×N inequality join. Exactly n rows at every scale. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val n = 100L
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val total = docs.agg(sum("w")).head().getLong(0)
+    graft.functions.PrefixSum.runningTotal(docs, "doc_id", "w", "cum")
+      .withColumn("cb", col("cum") - col("w"))
+      .withColumn("m_lo", expr(s"(2L * ${n}L * cb + ${total}L - 1L) div ${total}L"))
+      .withColumn("m_lo", expr("m_lo + CAST(m_lo % 2L = 0L AS BIGINT)"))
+      .withColumn("m_hi", expr(s"(2L * ${n}L * cum - 1L) div ${total}L"))
+      .withColumn("m_hi", expr("m_hi - CAST(m_hi % 2L = 0L AS BIGINT)"))
+      .where(col("m_hi") >= col("m_lo"))
+      .select(explode(expr("sequence(m_lo, m_hi, 2L)")).as("m"), col("doc_id"), col("w"))
+      .select(expr("(m - 1L) div 2L").as("k"), col("doc_id"), col("w"))
+      .orderBy("k")
+  }
+
+  private val o105 =
+    """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |                  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |           FROM documents),
+      |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM documents),
+      |picks AS (SELECT range AS k FROM range(100))
+      |SELECT k, doc_id, w
+      |FROM picks, w, tot
+      |WHERE 200 * (cum - w) <= (2 * k + 1) * t AND (2 * k + 1) * t < 200 * cum
+      |ORDER BY k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3601,7 +3812,11 @@ object Queries {
     "q98_cohen_kappa" -> (q98 _),
     "q99_pagerank" -> (q99 _),
     "q100_calibration" -> (q100 _),
-    "q101_ivfpq_adc" -> (q101 _)
+    "q101_ivfpq_adc" -> (q101 _),
+    "q102_semdedup" -> (q102 _),
+    "q103_triangle_census" -> (q103 _),
+    "q104_feature_gram" -> (q104 _),
+    "q105_pps_sample" -> (q105 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3705,6 +3920,10 @@ object Queries {
     "q98_cohen_kappa" -> o98,
     "q99_pagerank" -> o99,
     "q100_calibration" -> o100,
-    "q101_ivfpq_adc" -> o101
+    "q101_ivfpq_adc" -> o101,
+    "q102_semdedup" -> o102,
+    "q103_triangle_census" -> o103,
+    "q104_feature_gram" -> o104,
+    "q105_pps_sample" -> o105
   )
 }

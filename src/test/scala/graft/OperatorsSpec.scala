@@ -538,6 +538,68 @@ class OperatorsSpec extends AnyFunSuite {
       "IVF-PQ plan must stay an equi-join")
   }
 
+  test("LongArraySum: equals posexplode+groupBy, invariant under repartitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val n = 7
+    val rows = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(n)(i => (Synthetic.mix2(r.toLong, i) % 1000L) - 500L))
+    }
+    val df = rows.toDF("id", "xs")
+    def summed(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(GraftBridge.column(
+        graft.functions.LongArraySum(GraftBridge.expression(col("xs")), n)
+          .toAggregateExpression()).as("g"))
+        .head().getSeq[Long](0)
+    val viaAgg = summed(df)
+    val viaExplode = df.select(posexplode(col("xs")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum("v").as("s")).orderBy("pos")
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaAgg == viaExplode)
+    // partial aggregation + merge must be order/partitioning free
+    assert(summed(df.repartition(13)) == viaAgg)
+    assert(summed(df.coalesce(1)) == viaAgg)
+    // null rows skipped like builtin aggregates
+    val withNulls = df.withColumn("xs", when(col("id") % 3 === 0, lit(null)).otherwise(col("xs")))
+    val expect = rows.filter(_._1 % 3 != 0).map(_._2)
+      .foldLeft(new Array[Long](n)) { (a, x) => a.indices.foreach(i => a(i) += x(i)); a }.toSeq
+    assert(summed(withNulls) == expect)
+  }
+
+  test("semdedup cluster-bucketed near-dup: equi-join plan, no all-pairs") {
+    val df = Queries.all("q102_semdedup")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "semdedup candidate generation must stay a cluster-id equi-join")
+    // injected near-dups (vec_id % 50 == 0 copies) must all be caught,
+    // each canonicalized to its source vector
+    val dropped = df.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 500L by 50L).foreach { v =>
+      assert(dropped.get(v + 1000000L).contains(v), s"injected dup of $v not canonicalized")
+    }
+  }
+
+  test("triangle census: degree-ordered count matches brute force on a known graph") {
+    import spark.implicits._
+    // orders encode a graph: K4 on parts 1-4 (4 triangles) plus a
+    // triangle 10-11-12 sharing no parts, plus a path 20-21-22 (0)
+    val orders = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),     // K4: C(4,3) = 4 triangles
+      (2L, Seq(10L, 11L, 12L)),      // +1 triangle
+      (3L, Seq(20L, 21L)), (4L, Seq(21L, 22L))) // path: 0 triangles
+    val li = orders.flatMap { case (ok, pks) => pks.map(pk => (ok, pk)) }
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val row = Queries.all("q103_triangle_census")(spark, dir).head()
+    assert(row.getLong(0) == 10)  // nodes
+    assert(row.getLong(1) == 11)  // edges: 6 + 3 + 2
+    assert(row.getLong(3) == 5, s"triangles = ${row.getLong(3)}")
+    // wedges: K4 deg3 x4 -> 12; tri deg2 x3 -> 3; path: deg 1,2,1 -> 1
+    assert(row.getLong(2) == 16)
+    assert(row.getLong(4) == 3000L * 5 / 16)
+  }
+
   test("banded hamming self-join finds exactly the brute-force pairs within radius < nBands") {
     import spark.implicits._
     // deterministic hashes with planted near-dups: flip 1..6 bits of a base

@@ -3711,6 +3711,32 @@ object Queries {
       |WHERE 200 * (cum - w) <= (2 * k + 1) * t AND (2 * k + 1) * t < 200 * cum
       |ORDER BY k""".stripMargin
 
+  /** Manifest-pruned snapshot-table scan — the Iceberg table-format
+    * mechanics (immutable data files, versioned manifests with per-file
+    * min/max stats, snapshot isolation, file skipping) over the events
+    * table built as three range-keyed commits in Verify's setup
+    * ([[Sidecars]], [[graft.sources.SnapshotTable]]). The event_id range
+    * prunes whole files at the MANIFEST level before any scan task
+    * launches — at 10^12 images that planning step is the difference
+    * between reading the query box and reading the table. The oracle
+    * runs the same range over the PLAIN events table: file skipping must
+    * be invisible in the result (and a stale snapshot from another run
+    * or scale factor mismatches loudly — the inverted staleness
+    * contract). Time travel + isolation are pinned in OperatorsSpec. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SnapshotTable.scan(s, Sidecars.snapshotEventsPath,
+        Seq(graft.sources.SnapshotTable.Range("event_id", 101, 757)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  private val o106 =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id BETWEEN 101 AND 757
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3816,7 +3842,8 @@ object Queries {
     "q102_semdedup" -> (q102 _),
     "q103_triangle_census" -> (q103 _),
     "q104_feature_gram" -> (q104 _),
-    "q105_pps_sample" -> (q105 _)
+    "q105_pps_sample" -> (q105 _),
+    "q106_snapshot_scan" -> (q106 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3924,6 +3951,7 @@ object Queries {
     "q102_semdedup" -> o102,
     "q103_triangle_census" -> o103,
     "q104_feature_gram" -> o104,
-    "q105_pps_sample" -> o105
+    "q105_pps_sample" -> o105,
+    "q106_snapshot_scan" -> o106
   )
 }

@@ -35,6 +35,7 @@ object Sidecars {
   val pqCodebookPath = s"$root/pq_codebook.parquet"
   val augPixelsPath = s"$root/aug_tile_pixels.parquet"
   val channelSumsPath = s"$root/tiles_channel_sums.parquet"
+  val snapshotEventsPath = s"$root/snapshot_events"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -92,6 +93,28 @@ object Sidecars {
       } yield (m, code, cent.toSeq)).toSeq
         .toDF("m", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath)
+    }
+    // q106: an Iceberg-style snapshot table over events — rebuilt fresh
+    // each run (delete + three appends keyed by contiguous event_id
+    // ranges, so per-file stats are tight), then the query's
+    // manifest-pruned scan is verified against the PLAIN events table by
+    // DuckDB. Inverted staleness contract: here the QUERY reads the
+    // sidecar-built table and the oracle reads the source, so a stale
+    // snapshot (older run / other scale factor) mismatches loudly.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(snapshotEventsPath)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val nmax = ev.agg(max("event_id")).head().getLong(0)
+      val (cut1, cut2) = (nmax / 3, 2 * nmax / 3)
+      Seq(col("event_id") <= cut1,
+          col("event_id") > cut1 && col("event_id") <= cut2,
+          col("event_id") > cut2)
+        .foreach { pred =>
+          graft.sources.SnapshotTable.append(s, snapshotEventsPath,
+            ev.where(pred).repartitionByRange(4, col("event_id")), Seq("event_id"))
+        }
     }
     // q30/q34/q35: each flagship case's pre-aggregation fragment frame +
     // garden metadata, so the oracle re-derives the distributed

@@ -1325,6 +1325,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bbox(zdf) == bbox(spark.read.parquet(s"$dir/em")) && bbox(zdf).size == 32 * 4)
   }
 
+  test("SnapshotTable: snapshot isolation, time travel, manifest file skipping") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/tbl"
+    def frame(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id"))
+    assert(SnapshotTable.append(spark, root, frame(0, 400), Seq("id")) == 1)
+    assert(SnapshotTable.append(spark, root, frame(400, 800), Seq("id")) == 2)
+    // current snapshot = union of both commits; time travel sees only v1
+    assert(SnapshotTable.scan(spark, root).count() == 800)
+    assert(SnapshotTable.scan(spark, root, version = Some(1)).count() == 400)
+    // manifest file skipping: [100,150] lives in 1-2 of the 8 range-laid
+    // files, and pruning must not change the result
+    val pruned = SnapshotTable.scan(spark, root, Seq(SnapshotTable.Range("id", 100, 150)))
+    assert(pruned.inputFiles.length <= 2,
+      s"expected the manifest to skip most files, read ${pruned.inputFiles.length}/8")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (100L to 150L))
+    // snapshot isolation: a resolved reader is pinned to its manifest —
+    // a later overwrite commit cannot change what it sees
+    val reader = SnapshotTable.scan(spark, root)
+    SnapshotTable.overwrite(spark, root, frame(9000, 9001), Seq("id"))
+    assert(reader.count() == 800)
+    assert(SnapshotTable.scan(spark, root).count() == 1)
+    assert(SnapshotTable.scan(spark, root, version = Some(2)).count() == 800)
+    // a range no file can satisfy returns an empty frame with the schema
+    val none = SnapshotTable.scan(spark, root, Seq(SnapshotTable.Range("id", -50, -10)), Some(2))
+    assert(none.columns.toSeq == Seq("id", "payload") && none.count() == 0)
+  }
+
   test("bloom decontamination (q53): equals q45 exactly; bloom probe is map-side pre-exchange") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta"),

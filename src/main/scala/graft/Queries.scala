@@ -3737,6 +3737,36 @@ object Queries {
       |FROM events WHERE event_id BETWEEN 101 AND 757
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Prefix-filtered exact set-similarity self-join (the All-Pairs /
+    * PPJoin family) at Jaccard ≥ 19/20 — the scale path completing the
+    * Jaccard story: q17 is the deliberate crossJoin baseline, q25 the
+    * probabilistic MinHash-LSH candidate generator, and this operator is
+    * EXACT like q17 but with the all-pairs product replaced by a
+    * rarest-first prefix-token equi-join + integer length filter + exact
+    * verification ([[graft.functions.SetSimJoin]] — no false negatives
+    * by the prefix-filtering lemma). The oracle is the full quadratic
+    * join in SQL: the engine must reproduce brute force EXACTLY. The
+    * synthetic corpus is adversarially dense (small shared vocabulary,
+    * most pairs similar), which stresses the verification stage; on a
+    * natural corpus the rarest-first prefixes make candidate buckets
+    * tiny. Integer threshold: 20·|a∩b| ≥ 19·|a∪b|. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("words"))
+    graft.functions.SetSimJoin.jaccardSelfJoin(docs, "doc_id", "words", 19L, 20L)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val o107 =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+      |           FROM documents),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |        CAST(len(list_intersect(a.w, b.w)) AS INT) AS n_common,
+      |        CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS INT) AS n_union
+      |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, n_common, n_union
+      |FROM p WHERE n_common * 20 >= n_union * 19 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3843,7 +3873,8 @@ object Queries {
     "q103_triangle_census" -> (q103 _),
     "q104_feature_gram" -> (q104 _),
     "q105_pps_sample" -> (q105 _),
-    "q106_snapshot_scan" -> (q106 _)
+    "q106_snapshot_scan" -> (q106 _),
+    "q107_ppjoin" -> (q107 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3952,6 +3983,7 @@ object Queries {
     "q103_triangle_census" -> o103,
     "q104_feature_gram" -> o104,
     "q105_pps_sample" -> o105,
-    "q106_snapshot_scan" -> o106
+    "q106_snapshot_scan" -> o106,
+    "q107_ppjoin" -> o107
   )
 }

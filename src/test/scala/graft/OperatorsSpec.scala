@@ -1325,6 +1325,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bbox(zdf) == bbox(spark.read.parquet(s"$dir/em")) && bbox(zdf).size == 32 * 4)
   }
 
+  test("prefix-filtered set-similarity join: equals brute force, prunes candidates, no cartesian") {
+    import spark.implicits._
+    // two disjoint-vocabulary families of near-dup chains plus noise:
+    // cross-family pairs share NOTHING, so prefix filtering must prune them
+    def words(fam: Int, i: Int): Seq[String] = {
+      val base = (0 until 20).map(w => s"w${fam}_$w")
+      base.drop(i % 3) ++ (0 until (i % 3)).map(w => s"n${fam}_${i}_$w")
+    }
+    val docs = (0 until 60).map(i => (i.toLong, words(i % 2, i / 2).distinct)).toDF("doc_id", "words")
+    val got = graft.functions.SetSimJoin.jaccardSelfJoin(docs, "doc_id", "words", 9L, 10L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // brute force over the same frame
+    val a = docs.select(col("doc_id").as("a_id"), col("words").as("aw"))
+    val b = docs.select(col("doc_id").as("b_id"), col("words").as("bw"))
+    val brute = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
+      .withColumn("n_union", size(col("aw")) + size(col("bw")) - col("n_common"))
+      .where(col("n_common") * 10 >= col("n_union") * 9)
+      .select("a_id", "b_id", "n_common", "n_union")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val gotSet = key(got)
+    assert(gotSet == key(brute) && gotSet.nonEmpty)
+    // pruning: candidates must exclude every cross-family pair (1/2 of
+    // all pairs share no token at all)
+    val nCand = graft.functions.SetSimJoin.candidates(docs, "doc_id", "words", 9L, 10L).count()
+    assert(nCand <= 60L * 59 / 2 / 2, s"prefix filter pruned nothing: $nCand candidates")
+    assert(nCand >= gotSet.size)
+  }
+
   test("SnapshotTable: snapshot isolation, time travel, manifest file skipping") {
     import spark.implicits._
     import graft.sources.SnapshotTable

@@ -3767,6 +3767,46 @@ object Queries {
       |SELECT a_id, b_id, n_common, n_union
       |FROM p WHERE n_common * 20 >= n_union * 19 ORDER BY 1, 2""".stripMargin
 
+  /** The q108 CCL input: the full synthetic tile mosaic at this scale's
+    * grid, shared by the query and the [[Sidecars]] fragment dump. */
+  private[graft] def cclTiles(s: SparkSession, dir: String): DataFrame = {
+    val (gw, gh, _) = syntheticScale(dir)
+    Synthetic.tiles(s, gw, gh, 64)
+  }
+
+  /** Distributed connected-component labeling of the mosaic's vegetation
+    * mask ([[graft.pipeline.MosaicCcl]]): per-tile union-find labeling
+    * (one decode per tile, raster-scan-deterministic fragment ids) +
+    * cross-tile stitching via a boundary equi-join feeding the q47
+    * min-label ConnectedComponents over the fragment graph — pixels
+    * never shuffle, so the shape holds on a 10^12-tile national mosaic.
+    * Output: top-20 components by exact pixel count (ties to the
+    * smaller component id). The oracle re-derives the ENTIRE cross-tile
+    * merge — interface pairing, min-label closure, component stats — in
+    * recursive SQL over the fragment sidecar; per-tile labeling itself
+    * is pinned by the stitched-mosaic differential test in
+    * OperatorsSpec. */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MosaicCcl.components(cclTiles(s, dir), "greenleaf")
+      .orderBy(col("n_pixels").desc, col("component")).limit(20)
+
+  private lazy val o108 =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT node_id, size FROM read_parquet('${Sidecars.cclNodesPath}/*.parquet')),
+       |cl AS (SELECT ifc_key, node_id FROM read_parquet('${Sidecars.cclClaimsPath}/*.parquet')),
+       |e0 AS (SELECT min(node_id) AS src, max(node_id) AS dst FROM cl
+       |       GROUP BY ifc_key HAVING count(*) = 2 AND min(node_id) <> max(node_id)),
+       |edges AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |cc(id, lbl) AS (
+       |  SELECT node_id, node_id FROM n
+       |  UNION
+       |  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id),
+       |lab AS (SELECT id, min(lbl) AS component FROM cc GROUP BY 1)
+       |SELECT l.component, count(*) AS n_fragments, CAST(sum(n.size) AS BIGINT) AS n_pixels
+       |FROM lab l JOIN n ON n.node_id = l.id
+       |GROUP BY 1 ORDER BY n_pixels DESC, component LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3874,7 +3914,8 @@ object Queries {
     "q104_feature_gram" -> (q104 _),
     "q105_pps_sample" -> (q105 _),
     "q106_snapshot_scan" -> (q106 _),
-    "q107_ppjoin" -> (q107 _)
+    "q107_ppjoin" -> (q107 _),
+    "q108_mosaic_ccl" -> (q108 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3984,6 +4025,7 @@ object Queries {
     "q104_feature_gram" -> o104,
     "q105_pps_sample" -> o105,
     "q106_snapshot_scan" -> o106,
-    "q107_ppjoin" -> o107
+    "q107_ppjoin" -> o107,
+    "q108_mosaic_ccl" -> o108
   )
 }

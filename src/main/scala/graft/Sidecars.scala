@@ -36,6 +36,8 @@ object Sidecars {
   val augPixelsPath = s"$root/aug_tile_pixels.parquet"
   val channelSumsPath = s"$root/tiles_channel_sums.parquet"
   val snapshotEventsPath = s"$root/snapshot_events"
+  val cclNodesPath = s"$root/ccl_nodes.parquet"
+  val cclClaimsPath = s"$root/ccl_claims.parquet"
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -115,6 +117,17 @@ object Sidecars {
           graft.sources.SnapshotTable.append(s, snapshotEventsPath,
             ev.where(pred).repartitionByRange(4, col("event_id")), Seq("event_id"))
         }
+    }
+    // q108: the per-tile CCL fragment frame (node sizes + boundary
+    // claims) — the oracle re-derives the whole cross-tile merge
+    // (interface pairing, recursive min-label closure, component stats)
+    // in SQL; the per-tile labeling is pinned by the stitched-mosaic
+    // differential test
+    locally {
+      val (nodes, claims) = graft.pipeline.MosaicCcl.fragments(
+        Queries.cclTiles(s, dir), "greenleaf")
+      nodes.coalesce(1).write.mode("overwrite").parquet(cclNodesPath)
+      claims.coalesce(1).write.mode("overwrite").parquet(cclClaimsPath)
     }
     // q30/q34/q35: each flagship case's pre-aggregation fragment frame +
     // garden metadata, so the oracle re-derives the distributed

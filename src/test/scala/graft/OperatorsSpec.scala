@@ -1356,6 +1356,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nCand >= gotSet.size)
   }
 
+  test("two-level mosaic CCL equals a global flood fill on the stitched mask") {
+    import spark.implicits._
+    val ts = 16; val gw = 3; val gh = 2
+    // cross-tile structures: a horizontal bar across the whole top tile
+    // row, a vertical bar crossing the horizontal interface, plus
+    // isolated pixels — global coords: gy 0 = north edge of the mosaic
+    def veg(ei: Int, ni: Int, x: Int, y: Int): Boolean = {
+      val gx = ei * ts + x
+      val gy = (gh - 1 - ni) * ts + y
+      gy == 7 || gx == 21 || (gx % 16 == 3 && gy % 16 == 12)
+    }
+    val rows = for { ei <- 0 until gw; ni <- 0 until gh } yield {
+      val data = new Array[Byte](ts * ts * 3)
+      for (y <- 0 until ts; x <- 0 until ts) {
+        val o = (y * ts + x) * 3
+        if (veg(ei, ni, x, y)) { data(o) = 10; data(o + 1) = 200.toByte; data(o + 2) = 10 }
+        else { data(o) = 120; data(o + 1) = 120; data(o + 2) = 120 }
+      }
+      val png = graft.img.Codec.encodePNG(graft.img.Raster(data, ts, ts, 3))
+      val code = graft.geo.TileCode.fromEastingsNorthings(400 + ei, 100 + ni)
+      (code, png, ts, ts, "png", s"test tile $ei $ni", 0L)
+    }
+    val tiles = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    // brute force: flood fill the stitched global mask
+    val W = gw * ts; val H = gh * ts
+    val g = Array.tabulate(H, W)((gy, gx) =>
+      veg(gx / ts, gh - 1 - gy / ts, gx % ts, gy % ts))
+    val seen = Array.ofDim[Boolean](H, W)
+    val bruteSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (sy <- 0 until H; sx <- 0 until W) if (g(sy)(sx) && !seen(sy)(sx)) {
+      var stack = List((sy, sx)); seen(sy)(sx) = true; var size = 0L
+      while (stack.nonEmpty) {
+        val (cy, cx) = stack.head; stack = stack.tail; size += 1
+        Seq((1, 0), (-1, 0), (0, 1), (0, -1)).foreach { case (dy, dx) =>
+          val ny = cy + dy; val nx = cx + dx
+          if (ny >= 0 && ny < H && nx >= 0 && nx < W && g(ny)(nx) && !seen(ny)(nx)) {
+            seen(ny)(nx) = true; stack = (ny, nx) :: stack
+          }
+        }
+      }
+      bruteSizes += size
+    }
+    val comp = graft.pipeline.MosaicCcl.components(tiles, "greenleaf").collect()
+    assert(comp.length == bruteSizes.length,
+      s"components: got ${comp.length}, brute force ${bruteSizes.length}")
+    assert(comp.map(_.getLong(2)).sorted.toSeq == bruteSizes.sorted.toSeq)
+    // the stitch machinery must actually fire: the bars cross interfaces
+    val (nodes, claims) = graft.pipeline.MosaicCcl.fragments(tiles, "greenleaf")
+    assert(graft.pipeline.MosaicCcl.stitchEdges(claims).count() >= 3)
+    assert(nodes.count() > comp.length.toLong)
+    // the iterative label-propagation path agrees with the small-graph
+    // union-find shortcut bit-for-bit
+    val iter = graft.pipeline.MosaicCcl.components(tiles, "greenleaf", smallGraph = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(iter == comp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+  }
+
   test("SnapshotTable: snapshot isolation, time travel, manifest file skipping") {
     import spark.implicits._
     import graft.sources.SnapshotTable

@@ -2449,8 +2449,7 @@ object Queries {
     * literal by the exact integer register sum (libm-free: the whole
     * sketch is integer max/sum plus one final IEEE division, so the
     * estimate double is bit-identical in any engine / partition order). */
-  private val HllScale: Double =
-    0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 9007199254740992.0
+  private val HllScale: Double = graft.functions.Hll.Scale
 
   /** Distributed HyperLogLog distinct-count sketch (m=1024 registers)
     * per event_type, next to the exact count for calibration. The
@@ -2463,24 +2462,11 @@ object Queries {
     * scaled to 2^53 fixed point (max 1023·2^53 + 2^52 < 2^63, no
     * overflow). Empty registers enter the sum as (m - n_used)·2^53. */
   private def q81(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-      .select(col("event_type"),
-        (conv(substring(col("h"), 1, 3), 16, 10).cast("long") % 1024L).as("bucket"),
-        conv(substring(col("h"), 4, 13), 16, 10).cast("long").as("w"))
-      .select(col("event_type"), col("bucket"),
-        when(col("w") === 0L, lit(53L))
-          .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
-    val regs = ev.groupBy("event_type", "bucket").agg(max("rho").as("r"))
-    val sums = regs.groupBy("event_type").agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_used"),
-      count(lit(1)).as("n_used"))
+    val regs = graft.functions.Hll.rhoFrame(t(s, dir, "events"), "event_type", "user_id")
+      .groupBy("event_type", "bucket").agg(max("rho").as("r"))
     val exact = t(s, dir, "events").groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"))
-    sums.join(exact, "event_type")
-      .select(col("event_type"), col("n_exact"), col("n_used"),
-        (col("s_used") + (lit(1024L) - col("n_used")) * lit(9007199254740992L)).as("s_total"))
-      .withColumn("est", lit(HllScale) / col("s_total").cast("double"))
+    graft.functions.Hll.estimate(regs, "event_type").join(exact, "event_type")
       .select("event_type", "n_exact", "n_used", "s_total", "est")
       .orderBy("event_type")
   }
@@ -3807,6 +3793,44 @@ object Queries {
        |FROM lab l JOIN n ON n.node_id = l.id
        |GROUP BY 1 ORDER BY n_pixels DESC, component LIMIT 20""".stripMargin
 
+  /** Streaming HLL distinct-count sketch: register maintenance runs as a
+    * Structured-Streaming stateful aggregation
+    * ([[graft.streaming.Streams.hllRegisters]], one file per micro-batch
+    * so cross-batch merge genuinely happens) and must converge to the
+    * SAME registers as batch q81 — max-register state is associative,
+    * commutative and idempotent, the re-aggregatable-sketch contract
+    * carried into streaming. The estimate folds from the final register
+    * table ([[graft.functions.Hll.estimate]]); the oracle re-derives
+    * registers + fold from the events table in SQL, so streaming ≡
+    * batch ≡ SQL bit-for-bit (single IEEE division at the end). */
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Hll.estimate(
+        graft.streaming.Streams.hllRegisters(s, s"$dir/events.parquet"), "event_type")
+      .orderBy("event_type")
+
+  private lazy val o109 =
+    s"""WITH h AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |         CAST(('0x' || substr(h, 1, 3)) AS BIGINT) % 1024 AS bucket,
+       |         CAST(('0x' || substr(h, 4, 13)) AS BIGINT) AS w
+       |  FROM h),
+       |rho AS (
+       |  SELECT event_type, bucket,
+       |         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+       |  FROM b),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT event_type, sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER)) AS s_used,
+       |         count(*) AS n_used
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type, n_used,
+       |       s_used + (1024 - n_used) * 9007199254740992 AS s_total,
+       |       ${HllScale} / CAST(s_used + (1024 - n_used) * 9007199254740992 AS DOUBLE) AS est
+       |FROM sums ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3915,7 +3939,8 @@ object Queries {
     "q105_pps_sample" -> (q105 _),
     "q106_snapshot_scan" -> (q106 _),
     "q107_ppjoin" -> (q107 _),
-    "q108_mosaic_ccl" -> (q108 _)
+    "q108_mosaic_ccl" -> (q108 _),
+    "q109_hll_stream" -> (q109 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4026,6 +4051,7 @@ object Queries {
     "q105_pps_sample" -> o105,
     "q106_snapshot_scan" -> o106,
     "q107_ppjoin" -> o107,
-    "q108_mosaic_ccl" -> o108
+    "q108_mosaic_ccl" -> o108,
+    "q109_hll_stream" -> o109
   )
 }

@@ -110,6 +110,32 @@ object Streams extends Serializable {
     * arrival-order-INDEPENDENT and the output equals batch
     * `SELECT DISTINCT` exactly (the o56 oracle). Append-mode sink:
     * rows emit once their key can no longer receive duplicates. */
+  /** Streaming HyperLogLog register maintenance: the sketch state
+    * (group, bucket) → max(rho) is associative, commutative AND
+    * idempotent, so the streaming stateful aggregation converges to
+    * EXACTLY the batch register table regardless of micro-batch
+    * boundaries, retries or arrival order — the re-aggregatable-sketch
+    * contract (q81/q87/q93) carried into Structured Streaming. Ingest is
+    * forced to one file per micro-batch (maxFilesPerTrigger=1) so the
+    * cross-batch state merge genuinely runs; state is bounded by
+    * |groups|·m registers however long the stream. Complete-mode memory
+    * sink on a static dir, like [[hourlyEventCounts]]. */
+  def hllRegisters(spark: SparkSession, eventsPath: String,
+                   groupCol: String = "event_type",
+                   keyCol: String = "user_id"): DataFrame = {
+    val static = spark.read.parquet(eventsPath)
+    val stream = spark.readStream.schema(static.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir(eventsPath))
+    val regs = graft.functions.Hll.rhoFrame(stream, groupCol, keyCol)
+      .groupBy(groupCol, "bucket")
+      .agg(max("rho").as("r"))
+    val sinkName = "graft_hll_registers"
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   def dedupedEventKeys(spark: SparkSession, eventsPath: String): DataFrame = {
     val static = spark.read.parquet(eventsPath)
     val stream = spark.readStream.schema(static.schema).parquet(stageDir(eventsPath))

@@ -1356,6 +1356,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nCand >= gotSet.size)
   }
 
+  test("streaming HLL registers equal batch registers across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val ev = (0 until 2000).map(i => (i.toLong % 97, s"t${i % 3}")).toDF("user_id", "event_type")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // 4 files -> 4 micro-batches (maxFilesPerTrigger=1): the cross-batch
+    // max-register state merge must converge to the batch registers
+    val streamRegs = key(graft.streaming.Streams.hllRegisters(spark, s"$dir/events.parquet"))
+    val batchRegs = key(graft.functions.Hll.rhoFrame(
+        spark.read.parquet(s"$dir/events.parquet"), "event_type", "user_id")
+      .groupBy("event_type", "bucket").agg(max("rho").as("r")))
+    assert(streamRegs == batchRegs && streamRegs.nonEmpty)
+  }
+
   test("two-level mosaic CCL equals a global flood fill on the stitched mask") {
     import spark.implicits._
     val ts = 16; val gw = 3; val gh = 2

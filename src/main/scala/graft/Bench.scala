@@ -215,7 +215,8 @@ object Bench {
       // q106 is excluded: it reads the snapshot table Verify's setup
       // builds, which need not exist at bench time
       "q101_ivfpq_adc", "q102_semdedup", "q103_triangle_census",
-      "q104_feature_gram", "q105_pps_sample", "q107_ppjoin", "q108_mosaic_ccl")
+      "q104_feature_gram", "q105_pps_sample", "q107_ppjoin", "q108_mosaic_ccl",
+      "q110_pca_power")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

@@ -3621,19 +3621,27 @@ object Queries {
     * partition — versus the posexplode+groupBy(pos) spelling that
     * shuffles N·2080 rows (2·10^15 records at corpus scale). Output:
     * top-20 off-diagonal cells by |gram|, ties to the smaller (i, j). */
-  private def q104(s: SparkSession, dir: String): DataFrame = {
+  /** The one-pass distributed gram collection shared by q104 and q110:
+    * a single row whose `g` column holds the 2080 exact fixed-point
+    * upper-triangle sums ([[graft.functions.LongArraySum]]). */
+  private def gramFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val dim = 64
     val nCells = dim * (dim + 1) / 2
     val cells = expr(
       "flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j -> " +
         "CAST(floor(element_at(e, i + 1) * element_at(e, j + 1) * 1048576.0) AS BIGINT))))")
-    val summed = t(s, dir, "embeddings")
+    t(s, dir, "embeddings")
       .select(transform(col("embedding"), x => x.cast("double")).as("e"))
       .select(cells.as("cells"))
       .agg(GraftBridge.column(
         graft.functions.LongArraySum(GraftBridge.expression(col("cells")), nCells)
           .toAggregateExpression()).as("g"))
+  }
+
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val summed = gramFrame(s, dir)
     val ij = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
       .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
     val ijDf = s.createDataFrame(ij).toDF("pos", "i", "j")
@@ -3831,6 +3839,78 @@ object Queries {
        |       ${HllScale} / CAST(s_used + (1024 - n_used) * 9007199254740992 AS DOUBLE) AS est
        |FROM sums ORDER BY 1""".stripMargin
 
+  /** First principal direction by power iteration over the exact-integer
+    * gram — completing q104 into the covariance→PCA feature-prep
+    * pipeline. The distributed work is ONE gram pass (the bounded
+    * [[graft.functions.LongArraySum]] aggregate — 2080 longs cross the
+    * wire, never N·2080 rows); the 64×64 eigen-iteration is O(dim²)
+    * driver math (like the IVF/PQ training devices: bounded, not
+    * data-sized), and the projection is one map-only fold per row.
+    * Determinism without libm: the gram longs cast exactly to doubles
+    * (< 2^53), every matrix-vector product folds ascending-j (the
+    * proven list_dot_product ≡ fold equivalence), each iteration
+    * rescales by max|v_i| (an exact max + one IEEE division — no sqrt
+    * norm), v₀ is the basis vector of the largest diagonal (ties to the
+    * smaller index), and the per-vector score quantizes at the end —
+    * the oracle re-runs the ENTIRE derivation (gram, 8 unrolled
+    * iterations, projection) in SQL and must match bit-for-bit. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val cells = gramFrame(s, dir).head().getSeq[Long](0)
+    val g = Array.ofDim[Double](dim, dim)
+    var p = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      g(i)(j) = cells(p).toDouble; g(j)(i) = cells(p).toDouble; p += 1
+    }
+    var k0 = 0
+    for (i <- 1 until dim) if (g(i)(i) > g(k0)(k0)) k0 = i
+    var v = Array.tabulate(dim)(i => if (i == k0) 1.0 else 0.0)
+    for (_ <- 1 to 8) {
+      val nv = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var m = 0.0
+      nv.foreach(x => m = math.max(m, math.abs(x)))
+      v = nv.map(_ / m)
+    }
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("pc1_micro",
+        floor(aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) * 1048576.0).cast("long"))
+      .select("vec_id", "pc1_micro").orderBy("vec_id")
+  }
+
+  private lazy val o110 = {
+    val iters = (1 to 8).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""i$k AS (SELECT g.i, list_dot_product(g.row, $prev.v) AS x FROM grows g, $prev),
+         |m$k AS (SELECT max(abs(x)) AS m FROM i$k),
+         |v$k AS (SELECT list(x / m$k.m ORDER BY i) AS v FROM i$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |cells AS (
+       |  SELECT i, j,
+       |         CAST(floor(e[CAST(i + 1 AS INT)] * e[CAST(j + 1 AS INT)] * 1048576.0) AS BIGINT) AS v
+       |  FROM e, (SELECT a.range AS i, b.range AS j
+       |           FROM range(64) a, range(64) b WHERE a.range <= b.range)),
+       |gut AS (SELECT i, j, CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS g
+       |        FROM cells GROUP BY 1, 2),
+       |gfull AS (SELECT i, j, g FROM gut UNION ALL SELECT j, i, g FROM gut WHERE i < j),
+       |grows AS (SELECT i, list(g ORDER BY j) AS row FROM gfull GROUP BY i),
+       |diag AS (SELECT i AS k0 FROM gut WHERE i = j ORDER BY g DESC, i LIMIT 1),
+       |v0 AS (SELECT list_transform(range(64),
+       |         x -> CASE WHEN x = d.k0 THEN 1.0 ELSE 0.0 END) AS v FROM diag d),
+       |$iters
+       |SELECT e.vec_id,
+       |       CAST(floor(list_dot_product(e.e, v8.v) * 1048576.0) AS BIGINT) AS pc1_micro
+       |FROM e, v8 ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -3940,7 +4020,8 @@ object Queries {
     "q106_snapshot_scan" -> (q106 _),
     "q107_ppjoin" -> (q107 _),
     "q108_mosaic_ccl" -> (q108 _),
-    "q109_hll_stream" -> (q109 _)
+    "q109_hll_stream" -> (q109 _),
+    "q110_pca_power" -> (q110 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4052,6 +4133,7 @@ object Queries {
     "q106_snapshot_scan" -> o106,
     "q107_ppjoin" -> o107,
     "q108_mosaic_ccl" -> o108,
-    "q109_hll_stream" -> o109
+    "q109_hll_stream" -> o109,
+    "q110_pca_power" -> o110
   )
 }

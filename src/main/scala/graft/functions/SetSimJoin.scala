@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join via prefix filtering — the classic
@@ -10,16 +11,27 @@ import org.apache.spark.sql.functions._
   *
   * Why it scales where q17's crossJoin baseline can't: tokens get a
   * global rarest-first total order (document frequency ascending, token
-  * ascending); each record only indexes its PREFIX — the first
+  * ascending) and each record only indexes its PREFIX — the first
   * |x| − ⌈t·|x|⌉ + 1 ordered tokens. The prefix-filtering lemma
   * guarantees two records with J ≥ t share at least one prefix token
   * under the same total order, so the candidate generator is a plain
-  * token equi-join over prefixes (at t=0.9 a 100-token record indexes
-  * ~11 tokens, and the rarest-first order makes those the LOW-frequency
-  * tokens — small join buckets by construction). A length-ratio filter
-  * (t ≤ |a|/|b| ≤ 1/t, exact integer form) drops cross-size candidates
-  * before verification, and exact verification runs only on surviving
-  * pairs. No false negatives at any stage — output EQUALS brute force
+  * token equi-join over prefixes, with two exact filters on top:
+  *
+  *  - length-ratio: t ≤ |a|/|b| ≤ 1/t, integer form;
+  *  - PPJoin positional: a shared prefix token at 1-based positions
+  *    (pa, pb) bounds the achievable overlap by 1 + min(|a|−pa, |b|−pb),
+  *    and J ≥ t needs overlap ≥ ⌈t(|a|+|b|)/(1+t)⌉ — on a DENSE corpus
+  *    (small shared vocabulary, most pairs similar: exactly the
+  *    adversarial shape of the synthetic documents table) this collapses
+  *    "shares any rare token" to near the true result before any
+  *    verification runs.
+  *
+  * Tokens are dictionary-ranked to ints once (a |vocabulary|-sized
+  * window — bounded by the token dictionary like q90's |sources| window,
+  * never by the corpus), so the candidate join keys on an int and the
+  * exact verification intersects SORTED INT arrays carried through the
+  * join — no string comparisons and no join back to the corpus on the
+  * hot path. No false negatives at any stage — output EQUALS brute force
   * (the q107 oracle re-derives it as the full quadratic join in SQL).
   *
   * The threshold is an exact rational tNum/tDen so every comparison is
@@ -28,43 +40,52 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** Candidate (a_id, b_id) pairs — prefix-token equi-join + length
-    * filter, a superset of the true result by the prefix-filtering
-    * lemma. Exposed for the pruning-effectiveness spec. */
-  private[graft] def candidates(docs: DataFrame, idCol: String, wordsCol: String,
-                                tNum: Long, tDen: Long): DataFrame = {
+  /** Deduped candidate pairs with their rank-array payloads:
+    * (a_id, b_id, aw, bw, a_len, b_len). */
+  private def prefixCandidates(docs: DataFrame, idCol: String, wordsCol: String,
+                               tNum: Long, tDen: Long): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-record tokens in the global (df asc, tok asc) order; prefix
-    // length |x| - ceil(t|x|) + 1 via integer ceiling division
-    val pre = toks.join(dfreq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col("doc_id"), size(col("st")).as("len"),
-        expr(s"transform(st, x -> x.tok)").as("sw"))
+    // global rarest-first dictionary: |vocab|-sized window, not corpus-sized
+    val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("tok"))))
+      .select("tok", "rank")
+    val ranked = toks.join(dict, "tok")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("rank"))).as("rw"))
+      .select(col("doc_id"), col("rw"), size(col("rw")).as("len"))
       .withColumn("plen",
         col("len") - expr(s"CAST(($tNum * len + $tDen - 1) div $tDen AS INT)") + 1)
-      .select(col("doc_id"), col("len"), explode(slice(col("sw"), lit(1), col("plen"))).as("tok"))
-    pre.as("a").join(pre.as("b"), Seq("tok"))
+    val pre = ranked.select(col("doc_id"), col("rw"), col("len"),
+      posexplode(slice(col("rw"), lit(1), col("plen"))).as(Seq("pos0", "rtok")))
+    // required overlap alpha = ceil(tNum*(la+lb) / (tNum+tDen))
+    val alpha = expr(
+      s"CAST(($tNum * (a.len + b.len) + ${tNum + tDen} - 1) div ${tNum + tDen} AS INT)")
+    pre.as("a").join(pre.as("b"), col("a.rtok") === col("b.rtok"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .where(col("a.len") * tNum <= col("b.len") * tDen &&
         col("b.len") * tNum <= col("a.len") * tDen)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+      .where(lit(1) + least(col("a.len") - (col("a.pos0") + 1),
+        col("b.len") - (col("b.pos0") + 1)) >= alpha)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.rw").as("aw"), col("b.rw").as("bw"),
+        col("a.len").as("a_len"), col("b.len").as("b_len"))
+      .dropDuplicates("a_id", "b_id")
   }
+
+  /** Candidate (a_id, b_id) pairs — a superset of the true result by the
+    * prefix-filtering lemma. Exposed for the pruning-effectiveness
+    * spec. */
+  private[graft] def candidates(docs: DataFrame, idCol: String, wordsCol: String,
+                                tNum: Long, tDen: Long): DataFrame =
+    prefixCandidates(docs, idCol, wordsCol, tNum, tDen).select("a_id", "b_id")
 
   /** All pairs with Jaccard(words_a, words_b) ≥ tNum/tDen, exactly.
     * `wordsCol` must hold de-duplicated token arrays. Output:
     * (a_id, b_id, n_common, n_union) with a_id < b_id. */
   def jaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                      tNum: Long, tDen: Long): DataFrame = {
-    val cand = candidates(docs, idCol, wordsCol, tNum, tDen)
-    cand
-      .join(docs.select(col(idCol).as("a_id"), col(wordsCol).as("aw")), "a_id")
-      .join(docs.select(col(idCol).as("b_id"), col(wordsCol).as("bw")), "b_id")
+                      tNum: Long, tDen: Long): DataFrame =
+    prefixCandidates(docs, idCol, wordsCol, tNum, tDen)
       .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
-      .withColumn("n_union", size(col("aw")) + size(col("bw")) - col("n_common"))
+      .withColumn("n_union", col("a_len") + col("b_len") - col("n_common"))
       .where(col("n_common") * tDen >= col("n_union") * tNum)
       .select("a_id", "b_id", "n_common", "n_union")
-  }
 }

@@ -3911,6 +3911,65 @@ object Queries {
        |FROM e, v8 ORDER BY vec_id""".stripMargin
   }
 
+  /** Frequency-smoothed negative sampling for contrastive training
+    * (the word2vec f^(3/4) distribution): k=8 deterministic negatives
+    * per anchor document, picked proportional to smoothed token
+    * frequency by systematic cuts with an md5-derived per-anchor
+    * rotation ([[graft.functions.SampleNegatives]]). The weight
+    * dictionary is DICTIONARY-sized and rides the task binary as a
+    * broadcast array (the IvfLists/PqCodes device); anchors are the
+    * data-sized side and resolution is a per-row binary search —
+    * map-only, no range join. The f^(3/4) smoothing is
+    * floor(sqrt(floor(sqrt(f³)))): sqrt is correctly rounded under
+    * IEEE 754 (unlike pow/ln), so both engines agree bit-for-bit; the
+    * vocabulary window is bounded by the token dictionary (31 here),
+    * like q90's |sources| window — never by the corpus. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    import org.apache.spark.sql.expressions.Window
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("w", floor(sqrt(
+        floor(sqrt((col("f") * col("f") * col("f")).cast("double"))).cast("double"))).cast("long"))
+      .withColumn("rank", row_number().over(Window.orderBy("tok")))
+      .withColumn("cum", sum("w").over(Window.orderBy("rank")))
+      .select("rank", "tok", "w", "cum")
+    val d = vocab.orderBy("rank").collect()
+    val cum = d.map(_.getLong(3))
+    val picks = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        posexplode(ec(graft.functions.SampleNegatives(ee(col("doc_id")), cum, 8)))
+          .as(Seq("j", "idx")))
+    picks.join(broadcast(vocab.withColumn("idx", col("rank") - 1)), "idx")
+      .select(col("doc_id"), col("j"), col("tok").as("neg_token"), col("w"))
+      .orderBy("doc_id", "j")
+  }
+
+  private val o111 =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY 1),
+      |wt AS (SELECT tok,
+      |         CAST(floor(sqrt(CAST(CAST(floor(sqrt(CAST(f * f * f AS DOUBLE))) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w,
+      |         row_number() OVER (ORDER BY tok) AS rank
+      |       FROM vocab),
+      |c AS (SELECT tok, w, rank,
+      |        CAST(sum(w) OVER (ORDER BY rank) AS BIGINT) AS cum FROM wt),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM wt),
+      |anchors AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |picks AS (
+      |  SELECT a.doc_id, j.range AS j,
+      |         (a.h % tot.t + (j.range * tot.t) // 8) % tot.t AS p
+      |  FROM anchors a, range(8) j, tot)
+      |SELECT p.doc_id, CAST(p.j AS INT) AS j, c.tok AS neg_token, c.w
+      |FROM picks p JOIN c ON c.cum - c.w <= p.p AND p.p < c.cum
+      |ORDER BY doc_id, j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4021,7 +4080,8 @@ object Queries {
     "q107_ppjoin" -> (q107 _),
     "q108_mosaic_ccl" -> (q108 _),
     "q109_hll_stream" -> (q109 _),
-    "q110_pca_power" -> (q110 _)
+    "q110_pca_power" -> (q110 _),
+    "q111_negative_sample" -> (q111 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4134,6 +4194,7 @@ object Queries {
     "q107_ppjoin" -> o107,
     "q108_mosaic_ccl" -> o108,
     "q109_hll_stream" -> o109,
-    "q110_pca_power" -> o110
+    "q110_pca_power" -> o110,
+    "q111_negative_sample" -> o111
   )
 }

@@ -1356,6 +1356,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nCand >= gotSet.size)
   }
 
+  test("SampleNegatives: interval boundaries, md5 offset parity, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    // weights 5, 1, 10 -> cum 5, 6, 16: every position p picks the item
+    // whose [cum-w, cum) interval contains it
+    val cum = Array(5L, 6L, 16L)
+    val df = Seq(7L).toDF("id")
+      .select(ec(graft.functions.SampleNegatives(ee(c("id")), cum, 16)).as("idx"))
+    val got = df.head().getSeq[Int](0)
+    // offset o = md5("7") first 12 hex chars % 16; cuts are o, o+1, ... o+15 (mod 16)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("US-ASCII")).take(6)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    val o = h % 16
+    val expect = (0 until 16).map { j =>
+      val p = (o + j) % 16
+      if (p < 5) 0 else if (p < 6) 1 else 2
+    }
+    assert(got == expect)
+    // frequency proportionality: across the full cycle each item appears
+    // w times (systematic sampling with k = T)
+    assert(got.count(_ == 0) == 5 && got.count(_ == 1) == 1 && got.count(_ == 2) == 10)
+    // deterministic under re-evaluation
+    assert(df.head().getSeq[Int](0) == got)
+  }
+
   test("streaming HLL registers equal batch registers across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString

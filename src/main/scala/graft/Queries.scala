@@ -3970,6 +3970,40 @@ object Queries {
       |FROM picks p JOIN c ON c.cum - c.w <= p.p AND p.p < c.cum
       |ORDER BY doc_id, j""".stripMargin
 
+  /** Unicode-normalized dedup keys ([[graft.functions.NormalizeText]]:
+    * NFC → accent strip → root-locale lowercase → whitespace collapse)
+    * over the deterministic non-ASCII fixture corpus — the
+    * canonicalization in front of exact-hash dedup (q11) on a
+    * multilingual crawl, where precomposed U+00E9 and decomposed
+    * e+U+0301 are byte-different spellings of the same text (the
+    * driver testdata is ASCII-only at every scale factor, hence the
+    * fixture; it also discharges the documented o23 ASCII caveat by
+    * exercising the non-ASCII regime somewhere). The oracle computes
+    * the SAME chain with DuckDB's utf8proc (nfc_normalize /
+    * strip_accents / lower / regexp collapse) — two independent Unicode
+    * implementations must produce identical keys and identical dup
+    * groups. Map-only scalar + one dedup groupBy: the q11 scale
+    * shape. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    s.read.parquet(Sidecars.unicodeDocsPath)
+      .select(col("uid"), ec(graft.functions.NormalizeText(ee(col("text")))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_docs"), min("uid").as("canonical"),
+        expr("array_join(sort_array(collect_list(cast(uid as string))), ',')").as("ids"))
+      .select(col("k").as("norm_key"), col("n_docs"), col("canonical"), col("ids"))
+      .orderBy("norm_key")
+  }
+
+  private lazy val o112 =
+    s"""WITH n AS (
+       |  SELECT uid,
+       |         regexp_replace(trim(lower(strip_accents(nfc_normalize(text)))),
+       |                        '[ \\t\\n]+', ' ', 'g') AS k
+       |  FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet'))
+       |SELECT k AS norm_key, count(*) AS n_docs, min(uid) AS canonical,
+       |       string_agg(CAST(uid AS VARCHAR), ',' ORDER BY CAST(uid AS VARCHAR)) AS ids
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4081,7 +4115,8 @@ object Queries {
     "q108_mosaic_ccl" -> (q108 _),
     "q109_hll_stream" -> (q109 _),
     "q110_pca_power" -> (q110 _),
-    "q111_negative_sample" -> (q111 _)
+    "q111_negative_sample" -> (q111 _),
+    "q112_unicode_dedup" -> (q112 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4195,6 +4230,7 @@ object Queries {
     "q108_mosaic_ccl" -> o108,
     "q109_hll_stream" -> o109,
     "q110_pca_power" -> o110,
-    "q111_negative_sample" -> o111
+    "q111_negative_sample" -> o111,
+    "q112_unicode_dedup" -> o112
   )
 }

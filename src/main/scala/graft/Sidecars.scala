@@ -38,6 +38,33 @@ object Sidecars {
   val snapshotEventsPath = s"$root/snapshot_events"
   val cclNodesPath = s"$root/ccl_nodes.parquet"
   val cclClaimsPath = s"$root/ccl_claims.parquet"
+  val unicodeDocsPath = s"$root/unicode_docs.parquet"
+
+  /** The q112 INPUT fixture: a deterministic non-ASCII corpus (precomposed
+    * vs combining-mark accents, case variants, whitespace noise) — the
+    * one table the driver testdata lacks (it is ASCII-only at every
+    * scale factor, which is why o23's byte-hash oracle is safe). Unlike
+    * the derived sidecars this is a scale-independent INPUT, so a rerun
+    * always writes identical content. */
+  private[graft] def unicodeDocs: Seq[(Long, String)] = {
+    val variants = Seq(
+      "Caf\u00e9 du Monde",                    // precomposed \u00e9
+      "Cafe\u0301 du Monde",                   // decomposed e + U+0301
+      "CAF\u00c9  DU  MONDE",                  // case + double space
+      "cafe du monde",                        // already plain
+      "na\u00efve r\u00e9sum\u00e9",
+      "nai\u0308ve re\u0301sume\u0301",        // fully decomposed
+      "NA\u00cfVE R\u00c9SUM\u00c9",
+      "\u00dcber   alles",
+      "\u00dcber\talles",
+      "d\u00e9j\u00e0 vu",
+      "deja vu",
+      "plain text no accents",
+      "  plain   text  no accents ",
+      "z\u00fcrich \u00e5rhus \u00f8resund",
+      "zurich arhus \u00f8resund")
+    (0 until 45).map(i => (i.toLong, variants(i % variants.length) + s" tail${i / variants.length}"))
+  }
 
   def writeAll(s: SparkSession, dir: String): Unit = {
     // q26/q31: the synthetic tile table's (image_id, phash) projection
@@ -117,6 +144,14 @@ object Sidecars {
           graft.sources.SnapshotTable.append(s, snapshotEventsPath,
             ev.where(pred).repartitionByRange(4, col("event_id")), Seq("event_id"))
         }
+    }
+    // q112: the deterministic non-ASCII fixture corpus (both engines
+    // read the SAME parquet, so the compare isolates the normalization
+    // algebra — Java Normalizer vs utf8proc — not the data)
+    locally {
+      import s.implicits._
+      unicodeDocs.toDF("uid", "text")
+        .coalesce(1).write.mode("overwrite").parquet(unicodeDocsPath)
     }
     // q108: the per-tile CCL fragment frame (node sizes + boundary
     // claims) — the oracle re-derives the whole cross-tile merge

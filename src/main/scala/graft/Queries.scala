@@ -4004,6 +4004,56 @@ object Queries {
        |       string_agg(CAST(uid AS VARCHAR), ',' ORDER BY CAST(uid AS VARCHAR)) AS ids
        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q113 input: the synthetic tile mosaic with the engine-measured
+    * vegetation pixel count (sum of the [[graft.kernel.TileComponents]]
+    * fragment sizes — decode happens HERE, the one step no SQL engine
+    * can do) and every 7th caption deterministically corrupted (declared
+    * block count incremented), so the consistency check has real
+    * negatives at every scale. Shared by the query and the [[Sidecars]]
+    * dump, phashBase-style. */
+  private[graft] def captionTiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    cclTiles(s, dir)
+      .withColumn("c", ec(graft.kernel.TileComponents(ee(col("bytes")), "greenleaf")))
+      .select(col("image_id"), col("caption"),
+        expr("aggregate(c.sizes, CAST(0 AS BIGINT), (a, x) -> a + x)").as("measured_veg"))
+      .withColumn("declared0",
+        regexp_extract(col("caption"), "veg_blocks=(\\d+)/", 1).cast("long"))
+      .withColumn("caption", when(pmod(xxhash64(col("image_id")), lit(7L)) === 0L,
+          regexp_replace(col("caption"), lit("veg_blocks=\\d+/"),
+            concat(lit("veg_blocks="), (col("declared0") + 1).cast("string"), lit("/"))))
+        .otherwise(col("caption")))
+      .select("image_id", "caption", "measured_veg")
+  }
+
+  /** Caption↔image consistency audit — the multimodal curation check the
+    * input_hint's caption column exists for: parse the caption's
+    * declared vegetation blocks, compare with the pixel truth measured
+    * from the DECODED image (greenleaf mask; each declared block is
+    * exactly 64 vegetation pixels in this corpus), and flag
+    * disagreements — mislabeled captions are training-data poison at
+    * 10^12 pairs, and this map-only scan is how you find them. Decode is
+    * engine-side (the sidecar carries the measured counts); the oracle
+    * re-runs the parse + expectation + verdict algebra in SQL over the
+    * same frame, including the deterministically corrupted captions
+    * which MUST flag inconsistent. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    captionTiles(s, dir)
+      .withColumn("declared",
+        regexp_extract(col("caption"), "veg_blocks=(\\d+)/", 1).cast("long"))
+      .select(col("image_id"), col("declared"), col("measured_veg"),
+        (col("declared") * 64L === col("measured_veg")).cast("int").as("consistent"))
+      .orderBy("image_id")
+
+  private lazy val o113 =
+    s"""SELECT image_id,
+       |       CAST(regexp_extract(caption, 'veg_blocks=(\\d+)/', 1) AS BIGINT) AS declared,
+       |       measured_veg,
+       |       CAST(CAST(regexp_extract(caption, 'veg_blocks=(\\d+)/', 1) AS BIGINT) * 64
+       |            = measured_veg AS INT) AS consistent
+       |FROM read_parquet('${Sidecars.captionTilesPath}/*.parquet')
+       |ORDER BY image_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4116,7 +4166,8 @@ object Queries {
     "q109_hll_stream" -> (q109 _),
     "q110_pca_power" -> (q110 _),
     "q111_negative_sample" -> (q111 _),
-    "q112_unicode_dedup" -> (q112 _)
+    "q112_unicode_dedup" -> (q112 _),
+    "q113_caption_audit" -> (q113 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4231,6 +4282,7 @@ object Queries {
     "q109_hll_stream" -> o109,
     "q110_pca_power" -> o110,
     "q111_negative_sample" -> o111,
-    "q112_unicode_dedup" -> o112
+    "q112_unicode_dedup" -> o112,
+    "q113_caption_audit" -> o113
   )
 }

@@ -39,6 +39,7 @@ object Sidecars {
   val cclNodesPath = s"$root/ccl_nodes.parquet"
   val cclClaimsPath = s"$root/ccl_claims.parquet"
   val unicodeDocsPath = s"$root/unicode_docs.parquet"
+  val captionTilesPath = s"$root/caption_tiles.parquet"
 
   /** The q112 INPUT fixture: a deterministic non-ASCII corpus (precomposed
     * vs combining-mark accents, case variants, whitespace noise) — the
@@ -153,6 +154,11 @@ object Sidecars {
       unicodeDocs.toDF("uid", "text")
         .coalesce(1).write.mode("overwrite").parquet(unicodeDocsPath)
     }
+    // q113: the caption-consistency input frame (engine-decoded veg
+    // pixel counts + deterministically corrupted captions) - the oracle
+    // re-runs the parse/expectation/verdict algebra over the same rows
+    Queries.captionTiles(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(captionTilesPath)
     // q108: the per-tile CCL fragment frame (node sizes + boundary
     // claims) — the oracle re-derives the whole cross-tile merge
     // (interface pairing, recursive min-label closure, component stats)

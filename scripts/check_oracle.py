@@ -48,10 +48,13 @@ def main(sf_dir, out_dir):
             w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
             for c in sorted(got.columns):
                 gc, wc = g[c], w[c]
-                try:
-                    wc = wc.astype(gc.dtype)
-                except Exception:
-                    pass
+                # Dtype-strict like the driver's raw-frame hash: a Spark
+                # int64 column vs a DuckDB HUGEINT-materialized float64 (or
+                # a bare CASE's int32) must FAIL here, never be coerced.
+                if str(gc.dtype) != str(wc.dtype):
+                    ok = False
+                    msgs.append(f"col {c} dtype {gc.dtype} vs {wc.dtype}")
+                    continue
                 if not gc.equals(wc):
                     diff = (gc != wc)
                     try:

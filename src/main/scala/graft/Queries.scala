@@ -157,7 +157,7 @@ object Queries {
   }
 
   private val o10 =
-    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+    """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3 ORDER BY 1, 2""".stripMargin
@@ -180,8 +180,8 @@ object Queries {
       .orderBy("doc_id")
 
   private val o12 =
-    """SELECT doc_id, length(text) AS text_len,
-      |       len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    """SELECT doc_id, CAST(length(text) AS INT) AS text_len,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
       |FROM documents ORDER BY 1""".stripMargin
 
   private def q13(s: SparkSession, dir: String): DataFrame = {
@@ -196,9 +196,9 @@ object Queries {
   }
 
   private val o13 =
-    """SELECT doc_id, length(text) AS text_len,
-      |       length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
-      |       length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_spaces,
+    """SELECT doc_id, CAST(length(text) AS INT) AS text_len,
+      |       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+      |       CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_spaces,
       |       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
       |         / CAST(length(text) AS DOUBLE) AS vowel_ratio
       |FROM documents ORDER BY 1""".stripMargin
@@ -219,7 +219,8 @@ object Queries {
   }
 
   private val o14 =
-    """SELECT doc_id, en_hits, fr_hits, de_hits,
+    """SELECT doc_id, CAST(en_hits AS INT) AS en_hits, CAST(fr_hits AS INT) AS fr_hits,
+      |       CAST(de_hits AS INT) AS de_hits,
       |       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
       |            WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess
       |FROM (
@@ -249,9 +250,9 @@ object Queries {
 
   private val o15 =
     """SELECT doc_id,
-      |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+')) AS n_bpe,
-      |  len(regexp_extract_all(text, ' ?[a-zA-Z]+')) AS n_word,
-      |  len(regexp_extract_all(text, '\s+')) AS n_ws
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+')) AS INT) AS n_bpe,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+')) AS INT) AS n_word,
+      |  CAST(len(regexp_extract_all(text, '\s+')) AS INT) AS n_ws
       |FROM documents ORDER BY 1""".stripMargin
 
   /** Brute-force cosine top-k ANN baseline: every 100th vector queries the
@@ -277,7 +278,7 @@ object Queries {
   }
 
   private val o16 =
-    """SELECT query_id, rank, neighbor_id FROM (
+    """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
       |         row_number() OVER (PARTITION BY q.vec_id
       |           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -304,7 +305,7 @@ object Queries {
   }
 
   private val o17 =
-    """SELECT a_id, b_id, n_common, n_union,
+    """SELECT a_id, b_id, CAST(n_common AS INT) AS n_common, CAST(n_union AS INT) AS n_union,
       |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
       |FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -416,7 +417,7 @@ object Queries {
       |         (l_orderkey % 50) + CAST(l_suppkey % 89 AS DOUBLE) / 89.0 AS px,
       |         (l_partkey % 50) + CAST(l_orderkey % 97 AS DOUBLE) / 97.0 AS py
       |  FROM lineitem)
-      |SELECT qid, rank, pid FROM (
+      |SELECT qid, CAST(rank AS INT) AS rank, pid FROM (
       |  SELECT q.pid AS qid, p.pid AS pid,
       |         row_number() OVER (PARTITION BY q.pid
       |           ORDER BY (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py), p.pid) AS rank
@@ -869,8 +870,11 @@ object Queries {
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // max+1 offset keeps injected dup ids disjoint from real vec_ids at
+    // ANY table size (a fixed 1e6 collides past 1e6 rows); oracle mirrors.
+    val dupOff = emb.agg(max("vec_id")).head().getLong(0) + 1L
     val dups = emb.where(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + lit(dupOff)).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
     val all = emb.unionAll(dups)
     val a = all.select(col("vec_id").as("a_id"), col("e").as("ae"))
@@ -890,10 +894,12 @@ object Queries {
   private val o29 =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |mx AS (SELECT max(vec_id) + 1 AS off FROM base),
       |all_v AS (
       |  SELECT vec_id, e FROM base
       |  UNION ALL
-      |  SELECT vec_id + 1000000, list_prepend(e[1] + 0.125, e[2:]) FROM base WHERE vec_id % 50 = 0),
+      |  SELECT vec_id + mx.off, list_prepend(e[1] + 0.125, e[2:])
+      |  FROM base, mx WHERE vec_id % 50 = 0),
       |pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |         list_dot_product(a.e, b.e)
@@ -938,7 +944,7 @@ object Queries {
        |  FROM cand c
        |  JOIN embeddings q ON q.vec_id = c.query_id
        |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
-       |SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM scored WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
 
   private lazy val o27 = annRerankOracle(Sidecars.annLshPath)
   private lazy val o28 = annRerankOracle(Sidecars.annIvfPath)
@@ -1113,8 +1119,8 @@ object Queries {
       |             list_transform(range(1, greatest(len(ws) - 1, 1)),
       |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
       |      FROM t)
-      |SELECT doc_id, len(tg) AS n_trigrams,
-      |       len(tg) - len(list_distinct(tg)) AS n_dup,
+      |SELECT doc_id, CAST(len(tg) AS INT) AS n_trigrams,
+      |       CAST(len(tg) - len(list_distinct(tg)) AS INT) AS n_dup,
       |       CASE WHEN len(tg) = 0 THEN 0.0
       |            ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
       |       END AS dup_frac
@@ -1151,7 +1157,7 @@ object Queries {
       |             row_number() OVER (PARTITION BY tf.doc_id
       |               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word) AS rank
       |      FROM tf JOIN df USING (word))
-      |SELECT doc_id, rank, word, tf, df FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
+      |SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
 
   /** Benchmark decontamination (GPT-3-style): flag corpus documents that
     * share any word 5-gram with a held-out test set (doc_id % 20 == 0
@@ -2349,8 +2355,8 @@ object Queries {
       |p AS (SELECT ev.user_id, min(us) AS t_purchase FROM ev JOIN c USING (user_id)
       |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
       |SELECT v.user_id, t_view, t_click, t_purchase,
-      |       1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
-      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+      |       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
@@ -2492,7 +2498,7 @@ object Queries {
       |exact AS (
       |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
       |SELECT s.event_type, n_exact, n_used,
-      |       s_used + (1024 - n_used) * 9007199254740992 AS s_total,
+      |       CAST(s_used + (1024 - n_used) * 9007199254740992 AS BIGINT) AS s_total,
       |       ${HllScale} / CAST(s_used + (1024 - n_used) * 9007199254740992 AS DOUBLE) AS est
       |FROM sums s JOIN exact USING (event_type) ORDER BY 1""".stripMargin
 
@@ -2579,10 +2585,10 @@ object Queries {
       |  SELECT user_id, sum(CAST(1 AS BIGINT) << CAST(off AS INTEGER)) AS bitmap,
       |         count(*) AS n_active_days
       |  FROM offs GROUP BY 1)
-      |SELECT user_id, bitmap, n_active_days,
-      |       CASE WHEN (bitmap & (bitmap >> 1) & (bitmap >> 2) & (bitmap >> 3)
+      |SELECT user_id, CAST(bitmap AS BIGINT) AS bitmap, n_active_days,
+      |       CAST(CASE WHEN (bitmap & (bitmap >> 1) & (bitmap >> 2) & (bitmap >> 3)
       |                 & (bitmap >> 4) & (bitmap >> 5) & (bitmap >> 6)) <> 0
-      |            THEN 1 ELSE 0 END AS has_streak7
+      |            THEN 1 ELSE 0 END AS BIGINT) AS has_streak7
       |FROM bm ORDER BY user_id""".stripMargin
 
   /** Per-tile exact integer channel sums, the q84 base projection; also
@@ -2627,9 +2633,10 @@ object Queries {
 
   private lazy val o84 =
     s"""WITH a AS (
-       |  SELECT sum(n_pix) AS n, sum(sum_r) AS sr, sum(sum_g) AS sg,
-       |         sum(sum_b) AS sb, sum(sumsq_r) AS qr, sum(sumsq_g) AS qg,
-       |         sum(sumsq_b) AS qb
+       |  SELECT CAST(sum(n_pix) AS BIGINT) AS n, CAST(sum(sum_r) AS BIGINT) AS sr,
+       |         CAST(sum(sum_g) AS BIGINT) AS sg, CAST(sum(sum_b) AS BIGINT) AS sb,
+       |         CAST(sum(sumsq_r) AS BIGINT) AS qr, CAST(sum(sumsq_g) AS BIGINT) AS qg,
+       |         CAST(sum(sumsq_b) AS BIGINT) AS qb
        |  FROM read_parquet('${Sidecars.channelSumsPath}/*.parquet')),
        |c AS (
        |  SELECT 'b' AS channel, n, sb AS s, qb AS q FROM a
@@ -2699,7 +2706,8 @@ object Queries {
       |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
       |         sum(x * y) AS sxy, sum(x * x) AS sxx
       |  FROM xy GROUP BY 1)
-      |SELECT user_id, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |SELECT user_id, n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |       CAST(n * sxx - sx * sx AS BIGINT) AS den,
       |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
       |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
       |               / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
@@ -2793,7 +2801,7 @@ object Queries {
       |  SELECT source, count(*) AS n, sum(n_chars) AS sy,
       |         sum(i * n_chars) AS siy
       |  FROM r GROUP BY 1)
-      |SELECT source, n, sy, siy,
+      |SELECT source, n, CAST(sy AS BIGINT) AS sy, CAST(siy AS BIGINT) AS siy,
       |       CAST(2 * siy AS DOUBLE) / CAST(n * sy AS DOUBLE)
       |     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
       |FROM g ORDER BY source""".stripMargin
@@ -2839,8 +2847,9 @@ object Queries {
       |         1000000 - sum(base) OVER () AS extra,
       |         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
       |  FROM w)
-      |SELECT source, tot, base, rem,
-      |       base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+      |SELECT source, CAST(tot AS BIGINT) AS tot, CAST(base AS BIGINT) AS base,
+      |       CAST(rem AS BIGINT) AS rem,
+      |       CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM e ORDER BY source""".stripMargin
 
   /** Robust per-source outlier profile via median / MAD (the
@@ -3480,7 +3489,7 @@ object Queries {
        |           JOIN qtab q ON q.query_id = cand.query_id
        |                     AND q.m = k.m AND q.code = k.code
        |           GROUP BY 1, 2)
-       |SELECT query_id, rank, neighbor_id, adc FROM (
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY adc, neighbor_id) AS rank
        |  FROM scored)
@@ -3506,8 +3515,11 @@ object Queries {
     val cents = kmeansCentroids(s, dir)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // Same max+1 disjoint-range device as q29 (and mirrored in o102's
+    // mx CTE): injected dup ids can never collide with real vec_ids.
+    val dupOff = emb.agg(max("vec_id")).head().getLong(0) + 1L
     val dups = emb.where(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + lit(dupOff)).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
     val allv = emb.unionAll(dups)
       .withColumn("cluster",
@@ -3531,10 +3543,12 @@ object Queries {
   private lazy val o102 =
     s"""WITH base AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |mx AS (SELECT max(vec_id) + 1 AS off FROM base),
        |all_v AS (
        |  SELECT vec_id, e FROM base
        |  UNION ALL
-       |  SELECT vec_id + 1000000, list_prepend(e[1] + 0.125, e[2:]) FROM base WHERE vec_id % 50 = 0),
+       |  SELECT vec_id + mx.off, list_prepend(e[1] + 0.125, e[2:])
+       |  FROM base, mx WHERE vec_id % 50 = 0),
        |asg AS (SELECT vec_id, e, cluster FROM (
        |  SELECT v.vec_id, v.e, c.cluster,
        |         row_number() OVER (PARTITION BY v.vec_id
@@ -3566,12 +3580,25 @@ object Queries {
   private def q103(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // The distinct edge list feeds THREE consumers (deg, keyed, ne);
+    // eager localCheckpoint makes the expensive co-occurrence self-join
+    // execute exactly once instead of per-consumer under AQE. Same for
+    // deg (keyed's two joins + census + the packing guard below).
     val edges = li.as("x").join(li.as("y"), "ok")
       .where(col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
+      .localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // Injectivity guard: k = deg·2^32 + id is order-preserving and
+    // collision-free only while id < 2^32 and deg < 2^31 (signed-long
+    // headroom); beyond that, distinct nodes would silently merge and
+    // the oracle (same packing) could not catch it.
+    val lim = deg.agg(max("node").as("mn"), max("deg").as("md")).head()
+    require(lim.getLong(0) < (1L << 32) && lim.getLong(1) < (1L << 31),
+      "q103 degree-ordered key packing requires node ids < 2^32 and degrees < 2^31")
     val keyed = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -3835,7 +3862,7 @@ object Queries {
        |         count(*) AS n_used
        |  FROM regs GROUP BY 1)
        |SELECT event_type, n_used,
-       |       s_used + (1024 - n_used) * 9007199254740992 AS s_total,
+       |       CAST(s_used + (1024 - n_used) * 9007199254740992 AS BIGINT) AS s_total,
        |       ${HllScale} / CAST(s_used + (1024 - n_used) * 9007199254740992 AS DOUBLE) AS est
        |FROM sums ORDER BY 1""".stripMargin
 
@@ -3931,8 +3958,12 @@ object Queries {
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("f"))
+      // f cast to double BEFORE cubing: long f*f*f silently wraps above
+      // f ≈ 2^21 (realistic corpus token frequencies); IEEE double
+      // multiply is bit-identical in Spark and DuckDB so the oracle
+      // mirrors the same cast (left-assoc (f·f)·f both sides).
       .withColumn("w", floor(sqrt(
-        floor(sqrt((col("f") * col("f") * col("f")).cast("double"))).cast("double"))).cast("long"))
+        floor(sqrt(col("f").cast("double") * col("f") * col("f"))).cast("double"))).cast("long"))
       .withColumn("rank", row_number().over(Window.orderBy("tok")))
       .withColumn("cum", sum("w").over(Window.orderBy("rank")))
       .select("rank", "tok", "w", "cum")
@@ -3952,7 +3983,7 @@ object Queries {
       |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
       |vocab AS (SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY 1),
       |wt AS (SELECT tok,
-      |         CAST(floor(sqrt(CAST(CAST(floor(sqrt(CAST(f * f * f AS DOUBLE))) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w,
+      |         CAST(floor(sqrt(CAST(CAST(floor(sqrt(CAST(f AS DOUBLE) * f * f)) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w,
       |         row_number() OVER (ORDER BY tok) AS rank
       |       FROM vocab),
       |c AS (SELECT tok, w, rank,
@@ -3997,8 +4028,10 @@ object Queries {
   private lazy val o112 =
     s"""WITH n AS (
        |  SELECT uid,
-       |         regexp_replace(trim(lower(strip_accents(nfc_normalize(text)))),
-       |                        '[ \\t\\n]+', ' ', 'g') AS k
+       |         regexp_replace(
+       |           regexp_replace(lower(strip_accents(nfc_normalize(text))),
+       |                          '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$$', '', 'g'),
+       |           '[ \\t\\n\\r]+', ' ', 'g') AS k
        |  FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet'))
        |SELECT k AS norm_key, count(*) AS n_docs, min(uid) AS canonical,
        |       string_agg(CAST(uid AS VARCHAR), ',' ORDER BY CAST(uid AS VARCHAR)) AS ids
@@ -4053,6 +4086,120 @@ object Queries {
        |            = measured_veg AS INT) AS consistent
        |FROM read_parquet('${Sidecars.captionTilesPath}/*.parquet')
        |ORDER BY image_id""".stripMargin
+
+  /** q15's BPE-ish pretokenizer over the NON-ASCII fixture corpus: real
+    * corpora are not ASCII, so the Java-regex (Spark codegen'd
+    * regexp_count) vs RE2 (DuckDB) agreement must hold where accented
+    * letters fall into the `[^a-zA-Z0-9\s']+` residual class and \r/\t
+    * boundaries fall into `\s+`. Both engines use ASCII \s and operate
+    * per BMP codepoint, so the counts are exactly comparable. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val bpe = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+    s.read.parquet(Sidecars.unicodeDocsPath).select(col("uid"),
+        regexp_count(col("text"), lit(bpe)).as("n_bpe"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+")).as("n_word"),
+        regexp_count(col("text"), lit("\\s+")).as("n_ws"))
+      .orderBy("uid")
+  }
+
+  private lazy val o114 =
+    s"""SELECT uid,
+       |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+|\\s+')) AS INT) AS n_bpe,
+       |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+')) AS INT) AS n_word,
+       |  CAST(len(regexp_extract_all(text, '\\s+')) AS INT) AS n_ws
+       |FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet') ORDER BY 1""".stripMargin
+
+  /** q23's winnowed Rabin-Karp fingerprints over the NON-ASCII fixture —
+    * discharging o23's documented ASCII caveat for real: the engine
+    * hashes UTF-8 BYTES ([[graft.functions.TextHash.rollingHashes]]
+    * uses getBytes), so this oracle derives the byte stream in portable
+    * SQL via hex(encode(text)) (two hex chars per byte) instead of
+    * codepoint ord() — on "Café" the é contributes TWO k-gram positions
+    * (0xC3, 0xA9), which a codepoint oracle would get wrong. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(Sidecars.unicodeDocsPath).select(col("uid"),
+        Exprs.col(Fingerprint(Exprs.expr(col("text")))).as("fps"))
+      .select(col("uid"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"),
+        when(size(col("fps")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+          .as("fp_xor"))
+      .orderBy("uid")
+
+  private lazy val o115 =
+    s"""WITH src AS (
+       |  SELECT uid, hex(encode(text)) AS hx, octet_length(encode(text)) AS L
+       |  FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet')),
+       |pos AS (
+       |  SELECT uid, L, unnest(range(L - 4)) AS i, hx FROM src WHERE L >= 5),
+       |h AS (
+       |  SELECT uid, L - 4 AS nh, i,
+       |         CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) * 4362470401
+       |       + CAST(('0x' || substr(hx, CAST(2*i+3 AS INT), 2)) AS BIGINT) * 16974593
+       |       + CAST(('0x' || substr(hx, CAST(2*i+5 AS INT), 2)) AS BIGINT) * 66049
+       |       + CAST(('0x' || substr(hx, CAST(2*i+7 AS INT), 2)) AS BIGINT) * 257
+       |       + CAST(('0x' || substr(hx, CAST(2*i+9 AS INT), 2)) AS BIGINT) AS hv
+       |  FROM pos),
+       |short AS (
+       |  SELECT uid, min(hv) AS fp, 0 AS wi FROM h WHERE nh <= 4 GROUP BY uid),
+       |wm AS (
+       |  SELECT uid, i AS wi,
+       |         min(hv) OVER (PARTITION BY uid ORDER BY i
+       |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |         nh
+       |  FROM h QUALIFY nh > 4 AND i <= nh - 4),
+       |dedup AS (
+       |  SELECT uid, fp FROM (
+       |    SELECT uid, fp, lag(fp) OVER (PARTITION BY uid ORDER BY wi) AS prev FROM wm)
+       |  WHERE prev IS NULL OR fp <> prev
+       |  UNION ALL SELECT uid, fp FROM short),
+       |agg AS (
+       |  SELECT uid, CAST(count(*) AS INT) AS n_fp, min(fp) AS min_fp,
+       |         max(fp) AS max_fp, bit_xor(fp) AS fp_xor
+       |  FROM dedup GROUP BY 1)
+       |SELECT d.uid, COALESCE(a.n_fp, 0) AS n_fp, a.min_fp, a.max_fp, a.fp_xor
+       |FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet') d
+       |LEFT JOIN agg a USING (uid) ORDER BY 1""".stripMargin
+
+  /** q24's SimHash near-dup pipeline over the NON-ASCII fixture: token
+    * md5 hashes both engines compute over the token's UTF-8 bytes, so
+    * precomposed-vs-decomposed accent spellings hash DIFFERENTLY (they
+    * are different byte strings — dedup across them is q112's
+    * normalization job), while case/whitespace variants of the same
+    * byte-level tokens collide into hamming-0 pairs. The oracle
+    * re-derives the full vote/band/bucket/hamming pipeline in SQL. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val sh = s.read.parquet(Sidecars.unicodeDocsPath).select(col("uid"),
+      Exprs.col(SimHash64(Exprs.expr(split(lower(col("text")), "\\s+")))).as("simhash"))
+    graft.functions.NearDup.bandedSelfJoin(sh, "uid", "simhash",
+        bandBits = 16, maxHamming = 16)
+      .orderBy("a_id", "b_id")
+  }
+
+  private lazy val o116 =
+    s"""WITH toks AS (
+       |  SELECT uid, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM read_parquet('${Sidecars.unicodeDocsPath}/*.parquet')),
+       |th AS (
+       |  SELECT uid, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+       |votes AS (
+       |  SELECT uid, bits.b AS b,
+       |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, (SELECT unnest(range(64)) AS b) bits
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT uid,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS UBIGINT) AS u
+       |  FROM votes GROUP BY 1),
+       |bands AS (
+       |  SELECT uid, u, bd.band AS band, (u >> (bd.band * 16)) & 65535 AS bucket
+       |  FROM sh, (SELECT unnest(range(4)) AS band) bd),
+       |pairs AS (
+       |  SELECT DISTINCT a.uid AS a_id, b.uid AS b_id, a.u AS au, b.u AS bu
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.uid < b.uid)
+       |SELECT a_id, b_id, CAST(bit_count(xor(au, bu)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(au, bu)) <= 16 ORDER BY 1, 2""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -4167,7 +4314,10 @@ object Queries {
     "q110_pca_power" -> (q110 _),
     "q111_negative_sample" -> (q111 _),
     "q112_unicode_dedup" -> (q112 _),
-    "q113_caption_audit" -> (q113 _)
+    "q113_caption_audit" -> (q113 _),
+    "q114_unicode_pretokenize" -> (q114 _),
+    "q115_unicode_fingerprint" -> (q115 _),
+    "q116_unicode_simhash" -> (q116 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4283,6 +4433,9 @@ object Queries {
     "q110_pca_power" -> o110,
     "q111_negative_sample" -> o111,
     "q112_unicode_dedup" -> o112,
-    "q113_caption_audit" -> o113
+    "q113_caption_audit" -> o113,
+    "q114_unicode_pretokenize" -> o114,
+    "q115_unicode_fingerprint" -> o115,
+    "q116_unicode_simhash" -> o116
   )
 }

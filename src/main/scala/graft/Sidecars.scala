@@ -63,7 +63,10 @@ object Sidecars {
       "plain text no accents",
       "  plain   text  no accents ",
       "z\u00fcrich \u00e5rhus \u00f8resund",
-      "zurich arhus \u00f8resund")
+      "zurich arhus \u00f8resund",
+      "\tCaf\u00e9 du Monde\n",            // tab/newline boundaries
+      "Caf\u00e9 du\r\nMonde",             // CRLF interior
+      "\n\n\u00dcber\r alles \t")          // mixed boundary noise
     (0 until 45).map(i => (i.toLong, variants(i % variants.length) + s" tail${i / variants.length}"))
   }
 

@@ -41,9 +41,20 @@ import org.apache.spark.sql.functions._
 object SetSimJoin {
 
   /** Deduped candidate pairs with their rank-array payloads:
-    * (a_id, b_id, aw, bw, a_len, b_len). */
-  private def prefixCandidates(docs: DataFrame, idCol: String, wordsCol: String,
-                               tNum: Long, tDen: Long): DataFrame = {
+    * (a_id, b_id, aw, bw, a_len, b_len).
+    *
+    * The candidate-dedup Exchange carries ONLY (a_id, b_id, a_len,
+    * b_len) — four scalars per candidate. On a dense corpus the prefix
+    * equi-join emits one candidate row per SHARED PREFIX TOKEN, so
+    * letting the two rank arrays ride that Exchange costs
+    * O(candidates·|tokens|) shuffle bytes; instead the arrays are
+    * re-attached AFTER dedup by two equi-joins back to the corpus-sized
+    * ranked frame (candidate-count rows × two ints on the probe side).
+    * `ranked` is eagerly localCheckpoint'd because it feeds three
+    * consumers (the prefix explode and both re-attach joins) — without
+    * it AQE would re-run the dictionary window per consumer. */
+  private def candAndRanked(docs: DataFrame, idCol: String, wordsCol: String,
+                            tNum: Long, tDen: Long): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
     // global rarest-first dictionary: |vocab|-sized window, not corpus-sized
     val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -54,21 +65,31 @@ object SetSimJoin {
       .select(col("doc_id"), col("rw"), size(col("rw")).as("len"))
       .withColumn("plen",
         col("len") - expr(s"CAST(($tNum * len + $tDen - 1) div $tDen AS INT)") + 1)
-    val pre = ranked.select(col("doc_id"), col("rw"), col("len"),
+      .localCheckpoint(true)
+    val pre = ranked.select(col("doc_id"), col("len"),
       posexplode(slice(col("rw"), lit(1), col("plen"))).as(Seq("pos0", "rtok")))
     // required overlap alpha = ceil(tNum*(la+lb) / (tNum+tDen))
     val alpha = expr(
       s"CAST(($tNum * (a.len + b.len) + ${tNum + tDen} - 1) div ${tNum + tDen} AS INT)")
-    pre.as("a").join(pre.as("b"), col("a.rtok") === col("b.rtok"))
+    val cand = pre.as("a").join(pre.as("b"), col("a.rtok") === col("b.rtok"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .where(col("a.len") * tNum <= col("b.len") * tDen &&
         col("b.len") * tNum <= col("a.len") * tDen)
       .where(lit(1) + least(col("a.len") - (col("a.pos0") + 1),
         col("b.len") - (col("b.pos0") + 1)) >= alpha)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.rw").as("aw"), col("b.rw").as("bw"),
         col("a.len").as("a_len"), col("b.len").as("b_len"))
       .dropDuplicates("a_id", "b_id")
+    (cand, ranked)
+  }
+
+  private def prefixCandidates(docs: DataFrame, idCol: String, wordsCol: String,
+                               tNum: Long, tDen: Long): DataFrame = {
+    val (cand, ranked) = candAndRanked(docs, idCol, wordsCol, tNum, tDen)
+    cand
+      .join(ranked.select(col("doc_id").as("a_id"), col("rw").as("aw")), "a_id")
+      .join(ranked.select(col("doc_id").as("b_id"), col("rw").as("bw")), "b_id")
+      .select("a_id", "b_id", "aw", "bw", "a_len", "b_len")
   }
 
   /** Candidate (a_id, b_id) pairs — a superset of the true result by the
@@ -76,7 +97,7 @@ object SetSimJoin {
     * spec. */
   private[graft] def candidates(docs: DataFrame, idCol: String, wordsCol: String,
                                 tNum: Long, tDen: Long): DataFrame =
-    prefixCandidates(docs, idCol, wordsCol, tNum, tDen).select("a_id", "b_id")
+    candAndRanked(docs, idCol, wordsCol, tNum, tDen)._1.select("a_id", "b_id")
 
   /** All pairs with Jaccard(words_a, words_b) ≥ tNum/tDen, exactly.
     * `wordsCol` must hold de-duplicated token arrays. Output:

@@ -32,8 +32,12 @@ case class NormalizeText(child: Expression)
     val stripped = Normalizer.normalize(nfc, Normalizer.Form.NFD)
       .replaceAll("\\p{Mn}+", "")
     val recomposed = Normalizer.normalize(stripped, Normalizer.Form.NFC)
+    // Explicit mirrored trim, NOT String.trim: trim strips every char
+    // <= U+0020 while the oracle chain strips exactly this class — the
+    // two Unicode stacks must agree on \r and control-char boundaries.
     val collapsed = recomposed.toLowerCase(java.util.Locale.ROOT)
-      .trim.replaceAll("[ \\t\\n]+", " ")
+      .replaceAll("^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
+      .replaceAll("[ \\t\\n\\r]+", " ")
     UTF8String.fromString(collapsed)
   }
 

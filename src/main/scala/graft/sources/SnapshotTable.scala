@@ -73,6 +73,15 @@ object SnapshotTable {
     val prev = currentVersion(spark, root)
     val v = prev + 1
     val dataDir = s"$root/data/c$v"
+    // Crash recovery: a commit that died after writing data/c<v> but
+    // before the manifest rename left an orphaned data dir. No manifest
+    // references it (the snapshot never became visible), so deleting it
+    // is safe — without this, errorifexists below would fail every
+    // retry forever and the table could never commit again.
+    val dataPath = new Path(dataDir)
+    val dfs = fs(spark, dataPath)
+    if (dfs.exists(dataPath) && !dfs.exists(manifestPath(root, v)))
+      dfs.delete(dataPath, true)
     df.write.mode("errorifexists").parquet(dataDir)
 
     // per-new-file stats: one narrow scan over just the committed files

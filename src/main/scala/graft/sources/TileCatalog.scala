@@ -104,6 +104,78 @@ object TileLayout {
   }
 }
 
+/** The 100 TB deployment shape: the tile table lives in a
+  * [[SnapshotTable]] (Iceberg-style immutable data files + versioned
+  * manifests) and every flagship run resolves ONE snapshot, prunes at
+  * the MANIFEST level with the polygon index's covering-cell bounding
+  * box (files whose per-file (cell_e, cell_n) min/max stats can't
+  * intersect it are never planned — Iceberg's planning step), and then
+  * the engine's covering-range image_id predicate
+  * ([[graft.pipeline.VegPipeline.tileIdPredicate]]) prunes row-groups
+  * WITHIN the surviving files. Two independent pruning levels, both
+  * ahead of any decode work. */
+object SnapshotTiles {
+  import org.apache.spark.sql.functions._
+
+  /** Stat columns every tile-table commit carries for manifest skipping. */
+  val statCols: Seq[String] = Seq("cell_e", "cell_n")
+
+  private def withCellCols(tiles: DataFrame, webMercatorZoom: Option[Int]): DataFrame = {
+    val cellCol = webMercatorZoom match {
+      case Some(z) => graft.pipeline.Exprs.col(
+        graft.pipeline.SlippyKeyToCell(graft.pipeline.Exprs.expr(col("image_id")), z))
+      case None => graft.pipeline.VegPipeline.tileCell(col("image_id"))
+    }
+    tiles.withColumn("cell", cellCol)
+      .where(col("cell").isNotNull)
+      .withColumn("cell_e", shiftright(col("cell"), 31))
+      .withColumn("cell_n", col("cell").bitwiseAND(lit(0x7fffffffL)))
+  }
+
+  /** Commit `tiles` (input_hint schema) as a new snapshot,
+    * z-order-clustered into `nFiles` range partitions (the
+    * [[TileLayout]] layout) so each data file's (cell_e, cell_n)
+    * min/max stats cover a COMPACT 2-D region — that tightness is what
+    * makes the manifest bbox prune selective. */
+  def append(spark: SparkSession, root: String, tiles: DataFrame, nFiles: Int,
+             webMercatorZoom: Option[Int] = None): Long = {
+    val clustered = withCellCols(tiles, webMercatorZoom)
+      .withColumn("zkey", graft.index.ZOrder.key(col("cell_e"), col("cell_n")))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("cell", "zkey")
+    SnapshotTable.append(spark, root, clustered, statCols)
+  }
+
+  /** The polygon index's covering-cell bounding box as manifest-prune
+    * ranges — O(covering cells) aggregation, resolved once per run. An
+    * empty index yields an impossible range, so the scan plans no real
+    * work and the re-applied filter returns an empty frame. */
+  def coveringRanges(index: graft.pipeline.VegPipeline.PolyIndex): Seq[SnapshotTable.Range] = {
+    val e = shiftright(col("cell"), 31)
+    val n = col("cell").bitwiseAND(lit(0x7fffffffL))
+    val r = index.cellPolys.agg(min(e), max(e), min(n), max(n)).head()
+    if (r.isNullAt(0)) Seq(SnapshotTable.Range("cell_e", 1L, 0L))
+    else Seq(SnapshotTable.Range("cell_e", r.getLong(0), r.getLong(1)),
+      SnapshotTable.Range("cell_n", r.getLong(2), r.getLong(3)))
+  }
+}
+
+/** [[TileCatalog]] over a [[SnapshotTable]] tile table: snapshot-pinned
+  * reads (version = time travel) with manifest-level covering-box
+  * pruning. Compose with [[SnapshotTiles.coveringRanges]] once the
+  * polygon index is built. */
+final case class SnapshotTileCatalog(root: String,
+                                     ranges: Seq[SnapshotTable.Range] = Nil,
+                                     version: Option[Long] = None,
+                                     cirRoot: Option[String] = None)
+    extends TileCatalog {
+  def tiles(spark: SparkSession): DataFrame =
+    SnapshotTable.scan(spark, root, ranges, version)
+  override def cirTiles(spark: SparkSession): Option[DataFrame] =
+    cirRoot.map(SnapshotTable.scan(spark, _, ranges, None))
+}
+
 /** C2: secondary disk cache for re-scanned tile sets (the reference
   * caches downloaded web-mercator tiles on local disk keyed by tile
   * path, so a second analysis run never re-fetches,

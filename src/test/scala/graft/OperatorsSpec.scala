@@ -571,11 +571,14 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "semdedup candidate generation must stay a cluster-id equi-join")
-    // injected near-dups (vec_id % 50 == 0 copies) must all be caught,
+    // injected near-dups (vec_id % 50 == 0 copies, offset = max vec_id + 1
+    // so dup ids stay disjoint at any table size) must all be caught,
     // each canonicalized to its source vector
+    val off = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0) + 1L
     val dropped = df.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     (0L until 500L by 50L).foreach { v =>
-      assert(dropped.get(v + 1000000L).contains(v), s"injected dup of $v not canonicalized")
+      assert(dropped.get(v + off).contains(v), s"injected dup of $v not canonicalized")
     }
   }
 
@@ -873,9 +876,11 @@ class OperatorsSpec extends AnyFunSuite {
     val expectIds = spark.read.parquet(s"$dir/embeddings.parquet")
       .where(col("vec_id") % 50 === 0).select("vec_id")
       .collect().map(_.getLong(0)).sorted
+    val off = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0) + 1L
     // each injected perturbed copy pairs with its original and nothing else
     assert(got.map(t => (t._1, t._2)).toSeq ==
-      expectIds.map(v => (v, v + 1000000L)).toSeq)
+      expectIds.map(v => (v, v + off)).toSeq)
     assert(got.forall(t => t._3 >= 98 && t._3 <= 100))
   }
 

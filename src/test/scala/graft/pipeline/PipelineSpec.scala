@@ -357,6 +357,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship over a SnapshotTable commit: manifest pruning plans fewer files, output identical") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import graft.sources.{SnapshotTable, SnapshotTileCatalog, SnapshotTiles}
+    val root = java.nio.file.Files.createTempDirectory("snaptiles").toString + "/table"
+    val tiles = Synthetic.tiles(spark, gridW, gridH, ts)
+    // two commits (exercising the manifest union), each z-order-clustered
+    // into 6 data files so per-file (cell_e, cell_n) stats are tight
+    assert(SnapshotTiles.append(spark, root,
+      tiles.where(pmod(xxhash64(col("image_id")), lit(2L)) === 0L), 6) == 1)
+    assert(SnapshotTiles.append(spark, root,
+      tiles.where(pmod(xxhash64(col("image_id")), lit(2L)) === 1L), 6) == 2)
+
+    // gardens clustered in a 2x2 sub-extent of the 6x6 tile grid — the
+    // covering bbox must let the manifest skip most of the table's files
+    val gardens = Synthetic.gardens(spark, 10, 2, 2)
+    val idx = VegPipeline.buildIndex(spark, gardens, ts)
+    val cat = SnapshotTileCatalog(root, SnapshotTiles.coveringRanges(idx))
+    val snap = cat.tiles(spark)
+
+    // level 1 (Iceberg planning): file-skipping happened BEFORE any task
+    val nAll = SnapshotTable.manifest(spark, root).count()
+    val nPlanned = snap.inputFiles.length
+    assert(nPlanned < nAll, s"manifest pruning planned $nPlanned of $nAll files")
+
+    // level 2 (parquet row groups): the covering-range image_id predicate
+    // still reaches the surviving files' scan as a pushed filter
+    val cfg = VegPipeline.Config(tileSize = ts)
+    val pred = VegPipeline.tileIdPredicate(idx, cfg).get
+    val plan = snap.where(pred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("image_id"),
+      s"expected pushed image_id filter in:\n$plan")
+
+    // and the flagship result over the pruned snapshot scan equals the
+    // plain-parquet run exactly (pruning is IO-only, never semantic)
+    def rows(t: org.apache.spark.sql.DataFrame) =
+      VegPipeline.scoreAgainst(spark, idx, t, cfg)
+        .select("id", "npix", "frac_greenleaf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows(snap) == rows(tiles))
+
+    // snapshot pinning: a version-1 read scores only that commit's tiles
+    // (the other half zero-fills as missing) without seeing commit 2
+    val v1 = SnapshotTileCatalog(root, SnapshotTiles.coveringRanges(idx),
+      version = Some(1L)).tiles(spark)
+    assert(v1.count() < tiles.count())
+    val v1rows = rows(v1)
+    assert(v1rows.map(_._1) == rows(tiles).map(_._1)) // same gardens, fewer pixels
+  }
+
   test("IRGB fused pipeline (ndvi-irgb + matt + nn) matches the fused-mosaic oracle") {
     import graft.img.{Codec, Resize}
     val names = Seq("ndvi-irgb", "matt", "nn")

@@ -1489,6 +1489,15 @@ class OperatorsSpec extends AnyFunSuite {
     // a range no file can satisfy returns an empty frame with the schema
     val none = SnapshotTable.scan(spark, root, Seq(SnapshotTable.Range("id", -50, -10)), Some(2))
     assert(none.columns.toSeq == Seq("id", "payload") && none.count() == 0)
+    // crash recovery: a commit that wrote data/c4 but died before the
+    // manifest rename leaves an orphaned data dir that no manifest
+    // references — the next commit must reclaim it, not fail forever
+    frame(500, 510).write.parquet(s"$root/data/c4")
+    assert(SnapshotTable.currentVersion(spark, root) == 3)
+    assert(SnapshotTable.append(spark, root, frame(100, 120), Seq("id")) == 4)
+    assert(SnapshotTable.scan(spark, root).count() == 21) // 1 (overwrite v3) + 20
+    assert(SnapshotTable.scan(spark, root).where(col("id").between(500, 509)).count() == 0,
+      "orphaned crashed-commit rows must never become visible")
   }
 
   test("bloom decontamination (q53): equals q45 exactly; bloom probe is map-side pre-exchange") {

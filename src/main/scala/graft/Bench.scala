@@ -36,6 +36,53 @@ object Bench {
     "spark.sql.parquet.columnarReaderBatchSize" -> "128",
     "spark.sql.files.maxPartitionBytes" -> (32 * 1024 * 1024).toString)
 
+  /** Waves-aware input splits: if the default image-table config (32 MB
+    * cap, 4 MB open cost) would pack the scan into fewer than ~6 task
+    * waves at this core count, shrink the split size so it reaches 6.
+    * Measured on this box (interleaved A/B, 3 reps/arm): the default
+    * leaves the 480k-tile scan at 110 tasks = 3.4 waves of 32 with a ~1 s
+    * straggler tail (util 0.78); ~192 tasks = 6 waves lifts util to 0.84
+    * and cuts the 32-core wall ~6%. At <=8 cores the default already
+    * yields >=13 waves and both finer (192-task) and coarser (48-task)
+    * shapes measured SLOWER there, so the rule fires only when waves are
+    * actually scarce — the low-parallelism legs run byte-identical
+    * configs to the high one unless starved. Spark's own bytesPerCore
+    * adaptation (FilePartition.maxSplitBytes) moves the same direction
+    * but a fixed cap defeats it; this recomputes it against the actual
+    * table so the WAVE COUNT, not the byte count, is what the cluster
+    * size controls. */
+  private val splitCache = scala.collection.mutable.Map[(String, Int), Option[(Long, Long)]]()
+  /** Some((openCost, maxPartitionBytes)) when the scan needs finer splits
+    * at `cpus`, None to keep the TileConfs defaults. */
+  private def adaptiveSplit(path: String, cpus: Int): Option[(Long, Long)] =
+    splitCache.getOrElseUpdate((path, cpus), {
+      import scala.jdk.CollectionConverters._
+      val sizes = Files.walk(Paths.get(path)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(Files.size(_)).toSeq
+      val defaultTasks = sizes.map(_ + (4L << 20)).sum / (32L << 20)
+      val targetTasks = cpus.toLong * 6
+      if (defaultTasks >= targetTasks) None
+      else {
+        val open = 1L << 20
+        val mpb = math.max(4L << 20,
+          math.min(32L << 20, sizes.map(_ + open).sum / targetTasks))
+        Some((open, mpb))
+      }
+    })
+  private def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit =
+    adaptiveSplit(path, cpus) match {
+      case Some((open, mpb)) =>
+        s.conf.set("spark.sql.files.openCostInBytes", open.toString)
+        s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
+      case None =>
+        s.conf.set("spark.sql.files.openCostInBytes", (4L << 20).toString)
+        s.conf.set("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
+    }
+
   private def newSession(cpus: Int, tileConfs: Boolean): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -220,6 +267,7 @@ object Bench {
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)
+    tuneSplits(tileS, tilesPath, cpus)
     runFlagship(tileS, idx0, tilesPath, ts) // warm (JIT + scan caches)
     // IRGB fused-join datapoint (S3/J2: RGB ⋈ CIR + Ir-fusion kernels) on
     // the quarter-height tables, same interleaved protocol. Two variants:
@@ -228,8 +276,10 @@ object Bench {
     // zero Exchange on the fused join — TileBuckets is the write path).
     val irgbCfg = VegPipeline.Config(tileSize = ts,
       kernelNames = Seq("ndvi-irgb", "matt"), handleMissingTiles = false)
-    def runIrgb(): (Long, Long) =
+    def runIrgb(): (Long, Long) = {
+      tuneSplits(tileS, bd.tilesQuarterPath, cpus)
       runScore(tileS, idx0, bd.tilesQuarterPath, irgbCfg, Some(bd.cirQuarterPath))
+    }
     runIrgb() // warm
     def ensureBucketed(name: String, srcPath: String): Unit = {
       val loc = new java.io.File(s"spark-warehouse/$name").getAbsolutePath
@@ -255,8 +305,9 @@ object Bench {
     val headlineReps =
       (1 to headlineRounds).map { _ =>
         headline.map(name => time(SparkEntry.queries(name)(spark, sfDir).count())._1) ++
-          Seq(time(runFlagship(tileS, idx0, tilesPath, ts))._1, time(runIrgb())._1,
-            time(runIrgbBucketed())._1)
+          Seq({ tuneSplits(tileS, tilesPath, cpus)
+                time(runFlagship(tileS, idx0, tilesPath, ts))._1 },
+            time(runIrgb())._1, time(runIrgbBucketed())._1)
       }
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     (headline ++ Seq("q30_veg_flagship", "q34_irgb_fused", "q34_irgb_bucketed"))
@@ -280,6 +331,7 @@ object Bench {
     }
     val idxG = VegPipeline.buildIndex(tileS, gardensFromLines, ts)
     idxG.cellPolys.count()
+    tuneSplits(tileS, tilesPath, cpus)
     val (tFlagGeo, fpGeo) = time(runFlagship(tileS, idxG, tilesPath, ts))
     require(fpGeo == ((nRows, nPix)),
       s"GeoJSONL-ingested flagship fingerprint $fpGeo != parquet ($nRows, $nPix)")
@@ -309,17 +361,21 @@ object Bench {
     def repsAt(cpus: Int, n: Int): (Seq[Double], Seq[Double]) = {
       val s = newSession(cpus, tileConfs = true)
       val idx = buildIndex(s, gardensPath, ts)
+      tuneSplits(s, tilesPath, cpus) // waves-aware splits per core level
       val (rows, pix) = runFlagship(s, idx, tilesPath, ts) // warm
       // north rule: identical join output at every cluster size
       require(rows == nRows && pix == nPix,
         s"output mismatch at local[$cpus]: ($rows, $pix) != ($nRows, $nPix)")
+      tuneSplits(s, bd.tilesQuarterPath, cpus)
       val fpQ = runScore(s, idx, bd.tilesQuarterPath, cfgOf(ts), None) // warm quarter
       fpQuarter match {
         case Some(exp) => require(fpQ == exp,
           s"quarter-job output mismatch at local[$cpus]: $fpQ != $exp")
         case None => fpQuarter = Some(fpQ)
       }
+      tuneSplits(s, tilesPath, cpus)
       val reps = (1 to n).map(_ => time(runFlagship(s, idx, tilesPath, ts))._1)
+      tuneSplits(s, bd.tilesQuarterPath, cpus)
       val repsQ = (1 to n).map(_ =>
         time(runScore(s, idx, bd.tilesQuarterPath, cfgOf(ts), None))._1)
       s.stop()

@@ -53,10 +53,35 @@ object ScaleDiag {
       s.stop()
       wall
     }
-    for ((mpb, open) <- Seq((32, 4096), (12, 1024), (6, 1024))) {
-      val t32 = measure(32, mpb, open)
-      val t8 = measure(8, mpb, open)
-      println(f"--> mpb=${mpb}MB rawEff=${t8 / (4 * t32)}%.3f")
+    val mode = if (a.nonEmpty) a(0) else "sweep"
+    if (mode == "custom") {
+      // args: custom <cpus:mpbMB:openKb> ... — 2 interleaved reps each
+      val specs = a.drop(1).map { s =>
+        val Array(c, m, o) = s.split(":"); (c.toInt, m.toInt, o.toInt)
+      }
+      val res = scala.collection.mutable.Map[(Int, Int, Int), List[Double]]().withDefaultValue(Nil)
+      for (_ <- 1 to 2; sp <- specs) {
+        val t = measure(sp._1, sp._2, sp._3)
+        res(sp) = t :: res(sp)
+      }
+      for ((sp, ts) <- res.toSeq.sortBy(_._1))
+        println(f"CUSTOM cpus=${sp._1} mpb=${sp._2}MB open=${sp._3}KB reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+    } else if (mode == "ab") {
+      // interleaved A/B: 32MB (current bench config) vs 6MB, 3 reps each level
+      val res = scala.collection.mutable.Map[(Int, Int), List[Double]]().withDefaultValue(Nil)
+      for (_ <- 1 to 3; (mpb, open) <- Seq((32, 4096), (6, 1024)); cpus <- Seq(32, 8)) {
+        val t = measure(cpus, mpb, open)
+        res((cpus, mpb)) = t :: res((cpus, mpb))
+      }
+      for (((cpus, mpb), ts) <- res.toSeq.sortBy(_._1))
+        println(f"AB cpus=$cpus mpb=${mpb}MB reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+      println(f"AB rawEff32MB=${res((8, 32)).min / (4 * res((32, 32)).min)}%.3f rawEff6MB=${res((8, 6)).min / (4 * res((32, 6)).min)}%.3f")
+    } else {
+      for ((mpb, open) <- Seq((32, 4096), (12, 1024), (6, 1024))) {
+        val t32 = measure(32, mpb, open)
+        val t8 = measure(8, mpb, open)
+        println(f"--> mpb=${mpb}MB rawEff=${t8 / (4 * t32)}%.3f")
+      }
     }
   }
 }

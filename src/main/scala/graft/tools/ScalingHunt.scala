@@ -29,6 +29,26 @@ object ScalingHunt {
     s
   }
 
+  /** Same waves-aware split rule as Bench: shrink splits only when the
+    * default packing would give fewer than 6 task waves at this level. */
+  private def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val sizes = Files.walk(Paths.get(path)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(Files.size(_)).toSeq
+    val defaultTasks = sizes.map(_ + (4L << 20)).sum / (32L << 20)
+    if (defaultTasks < cpus.toLong * 6) {
+      val mpb = math.max(4L << 20,
+        math.min(32L << 20, sizes.map(_ + (1L << 20)).sum / (cpus.toLong * 6)))
+      s.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val minCeiling = sys.env.getOrElse("SPARK_GRAFT_MIN_CEILING", "0.72").toDouble
     val tilesPath = sys.env.getOrElse("SPARK_GRAFT_TILES", "data/gen/tilesjpg_g400x1200_ts256")
@@ -79,6 +99,7 @@ object ScalingHunt {
         import org.apache.spark.sql.functions._
         val idx = VegPipeline.buildIndex(s, s.read.parquet(gardensPath), ts)
         idx.cellPolys.count()
+        tuneSplits(s, tilesPath, cpus)
         val cfg = VegPipeline.Config(tileSize = ts,
           kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
         def run(): (Long, Long) = {
@@ -134,10 +155,15 @@ object ScalingHunt {
           val row = res.agg(count(lit(1)), sum("npix"), sum("frac_greenleaf"), sum("frac_hsv")).collect()(0)
           (row.getAs[Long](0), row.getAs[Long](1))
         }
-        val fpF = run(tilesPath); val fpQ = run(quarterPath) // warm both
+        tuneSplits(s, tilesPath, cpus)
+        val fpF = run(tilesPath)
+        tuneSplits(s, quarterPath, cpus)
+        val fpQ = run(quarterPath) // warm both
+        tuneSplits(s, tilesPath, cpus)
         val tF = (1 to nReps).map { _ =>
           val t0 = System.nanoTime(); run(tilesPath); (System.nanoTime() - t0) / 1e9
         }.min
+        tuneSplits(s, quarterPath, cpus)
         val tQ = (1 to nReps).map { _ =>
           val t0 = System.nanoTime(); run(quarterPath); (System.nanoTime() - t0) / 1e9
         }.min
@@ -184,6 +210,7 @@ object ScalingHunt {
       import org.apache.spark.sql.functions._
       val idx = VegPipeline.buildIndex(s, s.read.parquet(gardensPath), ts)
       idx.cellPolys.count()
+      tuneSplits(s, tilesPath, cpus)
       val cfg = VegPipeline.Config(tileSize = ts,
         kernelNames = Seq("greenleaf", "hsv"), handleMissingTiles = false)
       def run(): (Long, Long) = {

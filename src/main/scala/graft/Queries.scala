@@ -4215,6 +4215,126 @@ object Queries {
        |SELECT a_id, b_id, CAST(bit_count(xor(au, bu)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(au, bu)) <= 16 ORDER BY 1, 2""".stripMargin
 
+  /** Duplicate-span COALESCING: q60 flags every duplicated 8-token
+    * window; the operator a dedup pipeline actually needs downstream is
+    * the set of MAXIMAL contiguous duplicated regions per document (the
+    * byte ranges you cut, Lee et al. 2022 §3 "we remove the duplicated
+    * span"), because overlapping windows of one long duplicated passage
+    * must become ONE cut, not L-w+1 cuts. Classic interval coalescing,
+    * distributed: flagged window positions sweep per document — a region
+    * opens where a span starts past the running max end of everything
+    * before it — then per-region min/max and per-doc stats. Token ranges
+    * are discrete, so TOUCHING spans ([0,7] then [8,15]) also merge:
+    * a new region needs a gap, s > prev_max_end + 1.
+    *
+    * Scale shape: identical exchange profile to q60 (60-bit window keys,
+    * two hash aggs, one equi-join) plus ONE analytic window partitioned
+    * by doc_id — per-partition state is bounded by a single document's
+    * spans, so no key concentrates more than one doc and nothing is ever
+    * single-partition (contrast WindowExec with no partition spec). */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val wins = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - $w),
+           |          i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $w))), 1, 15), 16, 10) as bigint))""".stripMargin)))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val dupKeys = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("h")
+    val spans = wins.join(dupKeys, "h")
+      .select(col("doc_id"), col("i").cast("long").as("s"),
+        (col("i") + (w - 1)).cast("long").as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val regions = spans
+      .withColumn("pme", max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_r",
+        when(col("s") > coalesce(col("pme"), lit(Long.MinValue)) + 1L, 1L).otherwise(0L))
+      .withColumn("rid", sum("new_r").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "rid").agg(min("s").as("rs"), max("e").as("re"))
+    val perDoc = regions.groupBy("doc_id").agg(
+      count(lit(1)).as("n_regions"),
+      sum(col("re") - col("rs") + 1L).as("covered_tokens"),
+      max(col("re") - col("rs") + 1L).as("longest_region"))
+    t(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("longest_region"), lit(0L)).as("longest_region"))
+      .orderBy("doc_id")
+  }
+
+  private val o117 =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT doc_id, i,
+      |         CAST(('0x' || substr(md5(array_to_string(
+      |                list_slice(ws, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8)),
+      |nd AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM w) GROUP BY h HAVING count(*) >= 2),
+      |sp AS (SELECT doc_id, i AS s, i + 7 AS e FROM w JOIN nd USING (h)),
+      |m AS (SELECT doc_id, s, e,
+      |             max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM sp),
+      |r AS (SELECT doc_id, s, e,
+      |             sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS rid
+      |      FROM m),
+      |g AS (SELECT doc_id, rid, min(s) AS rs, max(e) AS re FROM r GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+      |               CAST(sum(re - rs + 1) AS BIGINT) AS covered_tokens,
+      |               CAST(max(re - rs + 1) AS BIGINT) AS longest_region
+      |        FROM g GROUP BY 1)
+      |SELECT d2.doc_id,
+      |       CAST(COALESCE(n_regions, 0) AS BIGINT) AS n_regions,
+      |       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |       CAST(COALESCE(longest_region, 0) AS BIGINT) AS longest_region
+      |FROM documents d2 LEFT JOIN agg USING (doc_id) ORDER BY 1""".stripMargin
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    * Inf. Proc. Letters 97(5), 2006): each item draws an exponential
+    * race key -ln(u)/w — the k SMALLEST keys are a weight-proportional
+    * sample without replacement, the one-pass distributed answer to
+    * "sample 100 documents proportional to length" (q105's PPS is
+    * systematic WITH-replacement over a prefix sum; this is the
+    * complementary without-replacement family, and needs no prefix sum
+    * at all). u derives from the md5 of doc_id (deterministic, seeded by
+    * data identity like q46/q49), w = n_chars.
+    *
+    * Scale shape: map-only key computation, then a global top-k that
+    * Spark plans as TakeOrderedAndProject — per-partition bounded heaps
+    * merged at the driver, k rows each; the corpus itself never
+    * shuffles. The race key is float-valued and the two engines' ln
+    * differ by ~2 ulp on some inputs (Spark's codegen log intrinsic vs
+    * DuckDB's libm), so the key itself is NOT part of the contract — the
+    * SAMPLE is: which doc_ids win the race is stable under ulp noise
+    * unless two keys coincide to ~1e-15 relative, and the output is the
+    * selected (doc_id, weight) set re-ordered by doc_id. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        expr("(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) + 1) / 1152921504606846976.0").as("u"))
+      .withColumn("key", -log(col("u")) / col("weight").cast("double"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select("doc_id", "weight")
+      .orderBy("doc_id")
+  }
+
+  private val o118 =
+    """SELECT doc_id, weight FROM (
+      |  SELECT doc_id, n_chars AS weight,
+      |         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+      |             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents ORDER BY key, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4331,7 +4451,9 @@ object Queries {
     "q113_caption_audit" -> (q113 _),
     "q114_unicode_pretokenize" -> (q114 _),
     "q115_unicode_fingerprint" -> (q115 _),
-    "q116_unicode_simhash" -> (q116 _)
+    "q116_unicode_simhash" -> (q116 _),
+    "q117_span_coalesce" -> (q117 _),
+    "q118_weighted_reservoir" -> (q118 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4450,6 +4572,8 @@ object Queries {
     "q113_caption_audit" -> o113,
     "q114_unicode_pretokenize" -> o114,
     "q115_unicode_fingerprint" -> o115,
-    "q116_unicode_simhash" -> o116
+    "q116_unicode_simhash" -> o116,
+    "q117_span_coalesce" -> o117,
+    "q118_weighted_reservoir" -> o118
   )
 }

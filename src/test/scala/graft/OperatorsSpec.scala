@@ -1596,6 +1596,55 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 9L, 2L, 2.0 / 9.0)))  // both occurrences of the shared window count
   }
 
+  test("span coalesce (q117): overlapping+touching dup windows merge to maximal regions") {
+    def w(ts: String*): String = ts.mkString(" ")
+    val shared = w("a", "b", "c", "d", "e", "f", "g", "h")
+    val shared2 = w("q", "r", "s", "t", "u", "v", "w", "x")
+    val dir = writeDocs(Seq(
+      (0L, shared + " i " + shared2),      // spans [0,7] and [9,16]: gap at 8 -> 2 regions
+      (1L, shared + " j " + shared2),      // same window pair, other doc
+      (2L, "p q r"),                        // no windows -> zeros
+      (3L, shared + " " + shared),          // spans [0,7],[8,15] touch -> ONE region [0,15]
+      (4L, shared + " " + shared + " tail")))  // doc 3/4 share ALL 9+ windows
+    val got = SparkEntry.queries("q117_span_coalesce")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // docs 3/4: windows i=0..8 all duplicated (both docs contain the
+    // 16-token run) -> overlapping spans [0,7]..[8,15] coalesce to [0,15]
+    assert(got == Seq(
+      (0L, 2L, 16L, 8L),
+      (1L, 2L, 16L, 8L),
+      (2L, 0L, 0L, 0L),
+      (3L, 1L, 16L, 16L),
+      (4L, 1L, 16L, 16L)))
+  }
+
+  test("weighted reservoir (q118): exact A-Res top-k replicated independently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wres").toString
+    val docs = (0L until 300L).map(i => (i, s"doc $i", 40L + (i * 7919L) % 500L))
+    docs.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q118_weighted_reservoir")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // independent md5-based replication of the exponential race
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, nc: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1) / 1152921504606846976.0
+      -math.log(u) / nc.toDouble
+    }
+    val want = docs.map { case (id, _, nc) => (id, nc, key(id, nc)) }
+      .sortBy(t => (t._3, t._1)).take(100)
+      .map(t => (t._1, t._2)).sortBy(_._1)
+    assert(got == want)
+    // heavier docs win more often than their count share: mean selected
+    // weight must exceed the corpus mean (weight-proportional sampling)
+    val meanSel = got.map(_._2).sum.toDouble / got.size
+    val meanAll = docs.map(_._3).sum.toDouble / docs.size
+    assert(meanSel > meanAll)
+  }
+
   test("heavy hitters (q61): identical to the naive GROUP BY/HAVING; CMS probe in plan") {
     // ~2.4k bigrams so total/1024 >= 2 exercises a real threshold:
     // "hot pair" dominates, a mid phrase sits near the cut, tail is singletons

@@ -4246,7 +4246,7 @@ object Queries {
       .groupBy("h").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("h")
     val spans = wins.join(dupKeys, "h")
       .select(col("doc_id"), col("i").cast("long").as("s"),
-        (col("i") + (w - 1)).cast("long").as("e"))
+        (col("i").cast("long") + (w - 1)).as("e")) // long BEFORE +: no int wrap at extreme doc lengths
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val regions = spans
       .withColumn("pme", max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))

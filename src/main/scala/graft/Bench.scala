@@ -57,12 +57,15 @@ object Bench {
   private def adaptiveSplit(path: String, cpus: Int): Option[(Long, Long)] =
     splitCache.getOrElseUpdate((path, cpus), {
       import scala.jdk.CollectionConverters._
-      val sizes = Files.walk(Paths.get(path)).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .map(Files.size(_)).toSeq
+      val walk = Files.walk(Paths.get(path))
+      val sizes = try {
+        walk.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(Files.size(_)).toSeq
+      } finally walk.close()
       val defaultTasks = sizes.map(_ + (4L << 20)).sum / (32L << 20)
       val targetTasks = cpus.toLong * 6
       if (defaultTasks >= targetTasks) None
@@ -73,7 +76,11 @@ object Bench {
         Some((open, mpb))
       }
     })
-  private def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit =
+  /** Shared with tools.ScalingHunt — the two measurement paths must use
+    * byte-identical split configs, and the None branch must RESET to the
+    * TileConfs defaults (a prior finer-split path would otherwise leak
+    * into this scan's timing). */
+  private[graft] def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit =
     adaptiveSplit(path, cpus) match {
       case Some((open, mpb)) =>
         s.conf.set("spark.sql.files.openCostInBytes", open.toString)

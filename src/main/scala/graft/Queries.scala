@@ -872,7 +872,8 @@ object Queries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     // max+1 offset keeps injected dup ids disjoint from real vec_ids at
     // ANY table size (a fixed 1e6 collides past 1e6 rows); oracle mirrors.
-    val dupOff = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val mxRow = emb.agg(max("vec_id")).head()
+    val dupOff = (if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)) + 1L // empty table: no rows to offset anyway
     val dups = emb.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + lit(dupOff)).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
@@ -3517,7 +3518,8 @@ object Queries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     // Same max+1 disjoint-range device as q29 (and mirrored in o102's
     // mx CTE): injected dup ids can never collide with real vec_ids.
-    val dupOff = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val mxRow = emb.agg(max("vec_id")).head()
+    val dupOff = (if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)) + 1L // empty table: no rows to offset anyway
     val dups = emb.where(col("vec_id") % 50 === 0)
       .select((col("vec_id") + lit(dupOff)).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.125).otherwise(x)).as("e"))
@@ -3599,7 +3601,8 @@ object Queries {
     // headroom); beyond that, distinct nodes would silently merge and
     // the oracle (same packing) could not catch it.
     val lim = deg.agg(max("node").as("mn"), max("deg").as("md")).head()
-    require(lim.getLong(0) < (1L << 32) && lim.getLong(1) < (1L << 31),
+    require(lim.isNullAt(0) || // empty graph: nothing to pack
+      (lim.getLong(0) < (1L << 32) && lim.getLong(1) < (1L << 31)),
       "q103 degree-ordered key packing requires node ids < 2^32 and degrees < 2^31")
     val keyed = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -3624,8 +3627,8 @@ object Queries {
     val tri = o
       .join(adj.select(col("sk"), col("nbrs").as("nu")), "sk")
       .join(adj.select(col("sk").as("dk"), col("nbrs").as("nv")), Seq("dk"), "left")
-      .agg(sum(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0)))
-        .cast("long").as("n_triangles"))
+      .agg(coalesce(sum(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0))), lit(0L))
+        .cast("long").as("n_triangles")) // outer coalesce: empty edge set -> 0, matching the oracle's count(*)
     val census = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1L) div 2L")).as("n_wedges"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))

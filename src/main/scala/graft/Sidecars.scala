@@ -67,7 +67,15 @@ object Sidecars {
       "\tCaf\u00e9 du Monde\n",            // tab/newline boundaries
       "Caf\u00e9 du\r\nMonde",             // CRLF interior
       "\n\n\u00dcber\r alles \t")          // mixed boundary noise
-    (0 until 45).map(i => (i.toLong, variants(i % variants.length) + s" tail${i / variants.length}"))
+    (0 until 45).map(i => (i.toLong, variants(i % variants.length) + s" tail${i / variants.length}")) ++ Seq(
+      // trailing-boundary rows (the "tail" suffix above makes every
+      // variant's own boundary interior, so these carry the edge):
+      // \u2028 LINE SEPARATOR is outside the [ \t\n\r] trim class AND is
+      // where Java's $ anchor diverges from RE2's \u2014 it must survive,
+      // and the space before it must survive the trim (see NormalizeText)
+      (45L, "Caf\u00e9 du Monde \u2028"),
+      (46L, "Caf\u00e9 du Monde  \n"),          // true trailing LF+spaces: trimmed
+      (47L, "\u2029 \u00dcber alles \u0085"))   // paragraph-sep lead, NEL tail: both survive
   }
 
   def writeAll(s: SparkSession, dir: String): Unit = {

@@ -35,8 +35,12 @@ case class NormalizeText(child: Expression)
     // Explicit mirrored trim, NOT String.trim: trim strips every char
     // <= U+0020 while the oracle chain strips exactly this class — the
     // two Unicode stacks must agree on \r and control-char boundaries.
+    // Anchors are \A/\z, not ^/$: Java's $ also matches BEFORE a final
+    // line terminator (U+0085/U+2028/U+2029), while the oracle's RE2 $
+    // only matches true end-of-text — a doc ending in space + U+2028 would
+    // trim differently under ^$.
     val collapsed = recomposed.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
+      .replaceAll("\\A[ \\t\\n\\r]+|[ \\t\\n\\r]+\\z", "")
       .replaceAll("[ \\t\\n\\r]+", " ")
     UTF8String.fromString(collapsed)
   }

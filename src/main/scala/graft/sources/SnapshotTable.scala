@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * [[TileCatalog]] unchanged, and this object supplies the same
   * semantics for the engine's own tables.
   *
-  *  - **Immutable data files**: every commit writes NEW files under
-  *    `data/c<version>/`; nothing is rewritten in place, so readers of
-  *    older snapshots are never torn.
+  *  - **Immutable data files**: every commit ATTEMPT writes NEW files
+  *    under a unique `data/c<version>_<nonce>/` dir; nothing is ever
+  *    rewritten or deleted in place, so readers of older snapshots are
+  *    never torn and in-flight writers can never collide.
   *  - **Versioned manifests**: `manifests/v<version>.parquet` lists every
   *    data file of that snapshot with its row count and per-column
   *    min/max stats (the Iceberg manifest-entry shape). The manifest is
@@ -72,16 +73,17 @@ object SnapshotTable {
                      statCols: Seq[String], replace: Boolean): Long = {
     val prev = currentVersion(spark, root)
     val v = prev + 1
-    val dataDir = s"$root/data/c$v"
-    // Crash recovery: a commit that died after writing data/c<v> but
-    // before the manifest rename left an orphaned data dir. No manifest
-    // references it (the snapshot never became visible), so deleting it
-    // is safe — without this, errorifexists below would fail every
-    // retry forever and the table could never commit again.
-    val dataPath = new Path(dataDir)
-    val dfs = fs(spark, dataPath)
-    if (dfs.exists(dataPath) && !dfs.exists(manifestPath(root, v)))
-      dfs.delete(dataPath, true)
+    // Data files stage under a UNIQUE dir per commit ATTEMPT — the
+    // manifest references files by absolute path, so the dir name is
+    // free. This makes every failure mode passive:
+    //  - a CRASHED attempt leaves an orphan dir no manifest references
+    //    (invisible forever; reclaimable offline, never wedges a retry);
+    //  - CONCURRENT committers never touch each other's in-flight files
+    //    (deleting a same-named data/c<v> here — the previous recovery
+    //    scheme — could silently commit a MIX of two writers' files);
+    //  - the manifest rename below stays the single commit point: the
+    //    loser of a version race throws and its staged dir is garbage.
+    val dataDir = s"$root/data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(dataDir)
 
     // per-new-file stats: one narrow scan over just the committed files

@@ -155,7 +155,11 @@ object SnapshotTiles {
     val e = shiftright(col("cell"), 31)
     val n = col("cell").bitwiseAND(lit(0x7fffffffL))
     val r = index.cellPolys.agg(min(e), max(e), min(n), max(n)).head()
-    if (r.isNullAt(0)) Seq(SnapshotTable.Range("cell_e", 1L, 0L))
+    // The empty sentinel must prune EVERY file's [min,max] stats — a
+    // (lo=1, hi=0) range fails to prune files whose stats straddle 0,
+    // so they would be planned and scanned for nothing. (MaxValue,
+    // MinValue) makes `max < lo` true for every file.
+    if (r.isNullAt(0)) Seq(SnapshotTable.Range("cell_e", Long.MaxValue, Long.MinValue))
     else Seq(SnapshotTable.Range("cell_e", r.getLong(0), r.getLong(1)),
       SnapshotTable.Range("cell_n", r.getLong(2), r.getLong(3)))
   }
@@ -168,12 +172,15 @@ object SnapshotTiles {
 final case class SnapshotTileCatalog(root: String,
                                      ranges: Seq[SnapshotTable.Range] = Nil,
                                      version: Option[Long] = None,
-                                     cirRoot: Option[String] = None)
+                                     cirRoot: Option[String] = None,
+                                     cirVersion: Option[Long] = None)
     extends TileCatalog {
   def tiles(spark: SparkSession): DataFrame =
     SnapshotTable.scan(spark, root, ranges, version)
+  // The CIR side pins its OWN version: a pinned RGB read next to a
+  // latest-snapshot CIR read would tear if a CIR commit lands mid-job.
   override def cirTiles(spark: SparkSession): Option[DataFrame] =
-    cirRoot.map(SnapshotTable.scan(spark, _, ranges, None))
+    cirRoot.map(SnapshotTable.scan(spark, _, ranges, cirVersion))
 }
 
 /** C2: secondary disk cache for re-scanned tile sets (the reference

@@ -29,25 +29,12 @@ object ScalingHunt {
     s
   }
 
-  /** Same waves-aware split rule as Bench: shrink splits only when the
-    * default packing would give fewer than 6 task waves at this level. */
-  private def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val sizes = Files.walk(Paths.get(path)).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(Files.size(_)).toSeq
-    val defaultTasks = sizes.map(_ + (4L << 20)).sum / (32L << 20)
-    if (defaultTasks < cpus.toLong * 6) {
-      val mpb = math.max(4L << 20,
-        math.min(32L << 20, sizes.map(_ + (1L << 20)).sum / (cpus.toLong * 6)))
-      s.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
-      s.conf.set("spark.sql.files.maxPartitionBytes", mpb.toString)
-    }
-  }
+  /** Waves-aware split rule, shared with Bench (one implementation so the
+    * two measurement paths can never drift — Bench's version also RESETS
+    * to the defaults when the rule does not fire, which matters when a
+    * finer-split quarter-table scan precedes a timed full-table one). */
+  private def tuneSplits(s: SparkSession, path: String, cpus: Int): Unit =
+    graft.Bench.tuneSplits(s, path, cpus)
 
   def main(args: Array[String]): Unit = {
     val minCeiling = sys.env.getOrElse("SPARK_GRAFT_MIN_CEILING", "0.72").toDouble

@@ -1489,9 +1489,10 @@ class OperatorsSpec extends AnyFunSuite {
     // a range no file can satisfy returns an empty frame with the schema
     val none = SnapshotTable.scan(spark, root, Seq(SnapshotTable.Range("id", -50, -10)), Some(2))
     assert(none.columns.toSeq == Seq("id", "payload") && none.count() == 0)
-    // crash recovery: a commit that wrote data/c4 but died before the
-    // manifest rename leaves an orphaned data dir that no manifest
-    // references — the next commit must reclaim it, not fail forever
+    // crash recovery: a commit that wrote its data dir but died before
+    // the manifest rename leaves an orphaned dir no manifest references
+    // — the next commit must succeed regardless (unique staging dirs)
+    // and the orphan's rows must never become visible
     frame(500, 510).write.parquet(s"$root/data/c4")
     assert(SnapshotTable.currentVersion(spark, root) == 3)
     assert(SnapshotTable.append(spark, root, frame(100, 120), Seq("id")) == 4)

@@ -4338,6 +4338,28 @@ object Queries {
       |  FROM documents ORDER BY key, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  /** Containment join over the documents table — see
+    * [[graft.functions.SetSimJoin.containmentSelfJoin]]: directed pairs
+    * with |A∩B|/|A| ≥ 49/50, the dedup signal symmetric Jaccard (q107)
+    * misses when a short document is swallowed by a long one. The
+    * oracle re-derives it as the full quadratic directed join. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("words"))
+    graft.functions.SetSimJoin.containmentSelfJoin(docs, "doc_id", "words", 49L, 50L)
+      .orderBy("contained_id", "container_id")
+  }
+
+  private val o119 =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+      |           FROM documents),
+      |p AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |        CAST(len(list_intersect(a.w, b.w)) AS INT) AS n_common,
+      |        CAST(len(a.w) AS INT) AS a_len
+      |      FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+      |SELECT contained_id, container_id, n_common, a_len
+      |FROM p WHERE n_common * 50 >= a_len * 49 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4456,7 +4478,8 @@ object Queries {
     "q115_unicode_fingerprint" -> (q115 _),
     "q116_unicode_simhash" -> (q116 _),
     "q117_span_coalesce" -> (q117 _),
-    "q118_weighted_reservoir" -> (q118 _)
+    "q118_weighted_reservoir" -> (q118 _),
+    "q119_containment_join" -> (q119 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4577,6 +4600,7 @@ object Queries {
     "q115_unicode_fingerprint" -> o115,
     "q116_unicode_simhash" -> o116,
     "q117_span_coalesce" -> o117,
-    "q118_weighted_reservoir" -> o118
+    "q118_weighted_reservoir" -> o118,
+    "q119_containment_join" -> o119
   )
 }

@@ -109,4 +109,56 @@ object SetSimJoin {
       .withColumn("n_union", col("a_len") + col("b_len") - col("n_common"))
       .where(col("n_common") * tDen >= col("n_union") * tNum)
       .select("a_id", "b_id", "n_common", "n_union")
+
+  /** Exact CONTAINMENT self-join: every DIRECTED pair with
+    * |A∩B| / |A| ≥ tNum/tDen, A ≠ B — the asymmetric cousin of Jaccard
+    * that catches a document CONTAINED in another (quoted articles,
+    * boilerplate-wrapped mirrors) which symmetric similarity misses
+    * whenever the container is much longer (J ≈ |A|/|B| → 0 while
+    * containment = 1).
+    *
+    * Prefix filtering is one-sided here (the overlap-join shape of
+    * JOSIE/ssjoin): only the CONTAINED side can be pruned — it needs
+    * overlap α = ⌈t·|A|⌉, so by the prefix lemma one of A's first
+    * |A| − α + 1 rarest-first tokens must appear in B — while the
+    * container side has no length upper bound and must index ALL its
+    * tokens. The equi-join key distribution still concentrates on RARE
+    * tokens (prefixes are rarest-first, so a hot stopword enters a
+    * prefix only for docs made almost entirely of hot tokens), which is
+    * what keeps the candidate count near df(rare)² instead of corpus².
+    * Length (|B| ≥ α) and PPJoin positional filters apply unchanged;
+    * verification intersects the same sorted rank arrays, and the
+    * threshold stays an exact rational. Output equals brute force. */
+  def containmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
+                          tNum: Long, tDen: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
+    val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("tok"))))
+      .select("tok", "rank")
+    val ranked = toks.join(dict, "tok")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("rank"))).as("rw"))
+      .select(col("doc_id"), col("rw"), size(col("rw")).as("len"))
+      .withColumn("alpha", expr(s"CAST(($tNum * len + $tDen - 1) div $tDen AS INT)"))
+      .withColumn("plen", col("len") - col("alpha") + 1)
+      .localCheckpoint(true)
+    val pre = ranked.select(col("doc_id"), col("len"), col("alpha"),
+      posexplode(slice(col("rw"), lit(1), col("plen"))).as(Seq("pos0", "rtok")))
+    val full = ranked.select(col("doc_id"), col("len"),
+      posexplode(col("rw")).as(Seq("pos0", "rtok")))
+    val cand = pre.as("a").join(full.as("b"), col("a.rtok") === col("b.rtok"))
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .where(col("b.len") >= col("a.alpha"))
+      .where(lit(1) + least(col("a.len") - (col("a.pos0") + 1),
+        col("b.len") - (col("b.pos0") + 1)) >= col("a.alpha"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.len").as("a_len"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(ranked.select(col("doc_id").as("a_id"), col("rw").as("aw")), "a_id")
+      .join(ranked.select(col("doc_id").as("b_id"), col("rw").as("bw")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
+      .where(col("n_common") * tDen >= col("a_len") * tNum)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("n_common"), col("a_len"))
+  }
 }

@@ -1361,6 +1361,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nCand >= gotSet.size)
   }
 
+  test("containment join: equals directed brute force; catches what Jaccard misses") {
+    import spark.implicits._
+    // doc 0 ⊂ doc 1 (1 is 4x longer: Jaccard 0.25, containment 1.0);
+    // doc 2 ⊂ doc 3 at 9/10; docs 4/5 disjoint-vocabulary noise
+    val short = (0 until 10).map(w => s"c$w")
+    val long = short ++ (0 until 30).map(w => s"x$w")
+    val nearSub = short.take(9) :+ "odd"
+    val docs = Seq(
+      (0L, short), (1L, long), (2L, nearSub), (3L, short ++ Seq("pad1", "pad2")),
+      (4L, (0 until 12).map(w => s"q$w")), (5L, (0 until 12).map(w => s"r$w")))
+      .toDF("doc_id", "words")
+    val got = graft.functions.SetSimJoin.containmentSelfJoin(docs, "doc_id", "words", 9L, 10L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val a = docs.select(col("doc_id").as("a_id"), col("words").as("aw"))
+    val b = docs.select(col("doc_id").as("b_id"), col("words").as("bw"))
+    val brute = a.crossJoin(b).where(col("a_id") =!= col("b_id"))
+      .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
+      .withColumn("a_len", size(col("aw")))
+      .where(col("n_common") * 10 >= col("a_len") * 9)
+      .select("a_id", "b_id", "n_common", "a_len")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val gotSet = key(got)
+    assert(gotSet == key(brute))
+    // the asymmetric pair Jaccard ≥ 0.9 can never return: 0 ⊂ 1
+    assert(gotSet.contains((0L, 1L, 10, 10)))
+    assert(!gotSet.contains((1L, 0L, 10, 40))) // containment is DIRECTED
+    assert(gotSet.contains((2L, 3L, 9, 10)))   // 9/10 boundary inclusive
+    assert(!gotSet.exists(p => p._1 >= 4L || p._2 >= 4L)) // noise prunes out
+  }
+
   test("SampleNegatives: interval boundaries, md5 offset parity, determinism") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}

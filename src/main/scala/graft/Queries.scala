@@ -4360,6 +4360,151 @@ object Queries {
       |SELECT contained_id, container_id, n_common, a_len
       |FROM p WHERE n_common * 50 >= a_len * 49 ORDER BY 1, 2""".stripMargin
 
+  /** Fixed-radius neighbor join (the distance-predicate spatial join the
+    * flagship's polygon⋈tile join generalizes — reference query semantics
+    * per `green_spaces/analyse_polygons.py`'s tile-straddle neighbor
+    * lookups): all points within r of each query point, via grid-cell
+    * bucketing at cell size = r. The PROBE side (queries, the small
+    * side) explodes its 3×3 neighbor cells; the data side is keyed by
+    * its own single cell — so the data-sized table never fans out, the
+    * join is a plain equi-join on (cx, cy), and the exact d² <= r²
+    * filter runs post-join. No all-pairs anywhere: the pair count is
+    * bounded by points-per-cell × 9 per query. Same device as the q42
+    * window-bucketed range join, lifted to 2D. d² is reported
+    * fixed-point (floor 1e9·d²) — products/sums of identical doubles
+    * are IEEE-identical in any engine. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val r = 0.5
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
+      ((col("l_orderkey") % 50) + (col("l_suppkey") % 89).cast("double") / 89.0).as("px"),
+      ((col("l_partkey") % 50) + (col("l_orderkey") % 97).cast("double") / 97.0).as("py"))
+    val data = pts.select(col("pid"), col("px"), col("py"),
+      floor(col("px") / r).cast("long").as("cx"),
+      floor(col("py") / r).cast("long").as("cy"))
+    val queries = pts.where(col("pid") % 599 === 0)
+      .select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+        floor(col("px") / r).cast("long").as("qcx"),
+        floor(col("py") / r).cast("long").as("qcy"))
+      .withColumn("cx", explode(array((-1 to 1).map(d => col("qcx") + d): _*)))
+      .withColumn("cy", explode(array((-1 to 1).map(d => col("qcy") + d): _*)))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    queries.join(data, Seq("cx", "cy"))
+      .where(col("pid") =!= col("qid") && d2 <= lit(r * r))
+      .select(col("qid"), col("pid"), floor(d2 * lit(1e9)).cast("long").as("d2_e9"))
+      .orderBy("qid", "pid")
+  }
+
+  private val o120 =
+    """WITH pts AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS pid,
+      |         (l_orderkey % 50) + CAST(l_suppkey % 89 AS DOUBLE) / 89.0 AS px,
+      |         (l_partkey % 50) + CAST(l_orderkey % 97 AS DOUBLE) / 97.0 AS py
+      |  FROM lineitem)
+      |SELECT q.pid AS qid, p.pid AS pid,
+      |       CAST(floor(((p.px - q.px) * (p.px - q.px) +
+      |                   (p.py - q.py) * (p.py - q.py)) * 1e9) AS BIGINT) AS d2_e9
+      |FROM pts q JOIN pts p ON q.pid <> p.pid
+      |WHERE q.pid % 599 = 0
+      |  AND (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py) <= 0.25
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Collocation mining: adjacent-token bigrams scored by LIFT
+    * (observed/expected co-occurrence, the exact-arithmetic PMI
+    * analogue: lift = n_ab·N_uni² / (N_bi·n_a·n_b); PMI = log2(lift),
+    * monotone, so the ranking is identical without ever calling a
+    * transcendental). Counts are exact integers from two groupBys —
+    * bigram keys are dictionary²-bounded, never corpus-bounded — and
+    * the two corpus totals ride in as broadcast single-row frames. The
+    * final score multiplies/divides the SAME operand order in both
+    * engines, so the fixed-point floor(ppm) agrees bit-for-bit (the
+    * q111 IEEE device). Position indexes are assigned BEFORE the
+    * empty-token filter on both sides, so a dropped empty token breaks
+    * adjacency rather than splicing its neighbors together. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    val bi = toks.alias("a").join(toks.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+    val nBi = bi.agg(sum("n_ab").as("n_bi"))
+    bi.where(col("n_ab") >= 5)
+      .join(uni.select(col("tok").as("ta"), col("n").as("n_a")), "ta")
+      .join(uni.select(col("tok").as("tb"), col("n").as("n_b")), "tb")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("lift_ppm",
+        floor(col("n_ab").cast("double") * col("n_uni") * col("n_uni") * lit(1000000.0) /
+          (col("n_bi").cast("double") * col("n_a") * col("n_b"))).cast("long"))
+      .select("ta", "tb", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
+      .limit(50)
+  }
+
+  private val o121 =
+    """WITH t0 AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+      |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |toks AS (SELECT * FROM t0 WHERE length(tok) > 0),
+      |uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+      |nu AS (SELECT count(*) AS n_uni FROM toks),
+      |bi AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+      |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |       GROUP BY 1, 2),
+      |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi)
+      |SELECT ta, tb, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |       CAST(floor(CAST(n_ab AS DOUBLE) * n_uni * n_uni * 1000000.0 /
+      |            (CAST(n_bi AS DOUBLE) * ua.n * ub.n)) AS BIGINT) AS lift_ppm
+      |FROM bi JOIN uni ua ON bi.ta = ua.tok
+      |        JOIN uni ub ON bi.tb = ub.tok, nu, nb
+      |WHERE n_ab >= 5
+      |ORDER BY lift_ppm DESC, ta, tb LIMIT 50""".stripMargin
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo merge/purge): rank
+    * every record by its blocking key via [[graft.functions.GlobalRank]]
+    * (two-pass distributed row_number — NO SinglePartition window), then
+    * join each record to the w records after it by bucketing the rank
+    * (probe side explodes 2 buckets, the q42 range-join device on rank
+    * space) and keep candidate pairs within Levenshtein 3. The
+    * all-pairs O(N²) edit-distance matrix never materializes: exactly
+    * N·w candidates are scored, and rank-bucketing keeps the join an
+    * equi-join that scales with N. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val w = 4L
+    // eager localCheckpoint: the ranked frame feeds BOTH join sides —
+    // without it the two-pass rank (and its O(P) offset collect) would
+    // execute twice, once per branch (the q103 lesson)
+    val recs = graft.functions.GlobalRank.byStringKey(
+      t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+      "p_name", "p_partkey", "rk").localCheckpoint(true)
+    val lhs = recs.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("rk").as("a_rk"))
+      .withColumn("bk", explode(array(floor(col("a_rk") / w), floor(col("a_rk") / w) + 1)))
+    val rhs = recs.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("rk").as("b_rk"), floor(col("rk") / w).as("bk"))
+    lhs.join(rhs, "bk")
+      .where(col("b_rk") > col("a_rk") && col("b_rk") <= col("a_rk") + w)
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .where(col("lev") <= 3)
+      .select(col("a_key"), col("b_key"), col("lev").cast("long").as("lev"))
+      .orderBy("a_key", "b_key")
+  }
+
+  private val o122 =
+    """WITH s AS (SELECT p_partkey, p_name,
+      |             row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+      |           FROM part)
+      |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+      |FROM s a JOIN s b ON b.rk > a.rk AND b.rk <= a.rk + 4
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4479,7 +4624,10 @@ object Queries {
     "q116_unicode_simhash" -> (q116 _),
     "q117_span_coalesce" -> (q117 _),
     "q118_weighted_reservoir" -> (q118 _),
-    "q119_containment_join" -> (q119 _)
+    "q119_containment_join" -> (q119 _),
+    "q120_radius_join" -> (q120 _),
+    "q121_collocation_lift" -> (q121 _),
+    "q122_sorted_neighborhood" -> (q122 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4601,6 +4749,9 @@ object Queries {
     "q116_unicode_simhash" -> o116,
     "q117_span_coalesce" -> o117,
     "q118_weighted_reservoir" -> o118,
-    "q119_containment_join" -> o119
+    "q119_containment_join" -> o119,
+    "q120_radius_join" -> o120,
+    "q121_collocation_lift" -> o121,
+    "q122_sorted_neighborhood" -> o122
   )
 }

@@ -2471,4 +2471,41 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L, 1L, 0.5),
       (2L, 0L, 0L, 0.0)))
   }
+
+  // ------------------------------------------------ GlobalRank
+
+  test("GlobalRank.byStringKey equals single-partition row_number, all bucket counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // keys engineered to straddle 8-byte-prefix bucket boundaries, with
+    // duplicate keys (tie-broken by id), a short key that is a prefix of
+    // a longer one, and an empty string
+    val rows = Seq(
+      (1L, "apple"), (2L, "apple"), (3L, "applepie"), (4L, "app"),
+      (5L, ""), (6L, "zebra"), (7L, "banana"), (8L, "bananas"),
+      (9L, "mango"), (10L, "mangosteen"), (11L, "apple pie"), (12L, "zz"))
+    val df = rows.toDF("id", "k").repartition(5)
+    val want = df.withColumn("rk",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(org.apache.spark.sql.functions.col("k"),
+            org.apache.spark.sql.functions.col("id"))).cast("long"))
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (b <- Seq(1, 3, 32)) {
+      val got = functions.GlobalRank.byStringKey(df, "k", "id", "rk", buckets = b)
+        .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"buckets=$b")
+    }
+  }
+
+  test("GlobalRank output column set and determinism across reruns") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"key${(i * 7919) % 100}%03d")).toDF("id", "k")
+    val a = functions.GlobalRank.byStringKey(df, "k", "id", "rk").collect().toSet
+    val b = functions.GlobalRank.byStringKey(df, "k", "id", "rk").collect().toSet
+    assert(a == b)
+    assert(functions.GlobalRank.byStringKey(df, "k", "id", "rk").columns.toSeq ==
+      Seq("id", "k", "rk"))
+    // ranks are a permutation of 1..N
+    assert(a.map(_.getLong(2)) == (1L to 500L).toSet)
+  }
 }

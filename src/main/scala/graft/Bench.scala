@@ -271,7 +271,8 @@ object Bench {
       "q101_ivfpq_adc", "q102_semdedup", "q103_triangle_census",
       "q104_feature_gram", "q105_pps_sample", "q107_ppjoin", "q108_mosaic_ccl",
       "q110_pca_power", "q111_negative_sample", "q117_span_coalesce",
-      "q118_weighted_reservoir", "q119_containment_join")
+      "q118_weighted_reservoir", "q119_containment_join", "q120_radius_join",
+      "q121_collocation_lift", "q122_sorted_neighborhood")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

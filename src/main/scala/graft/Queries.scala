@@ -4505,6 +4505,60 @@ object Queries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY 1, 2""".stripMargin
 
+  /** ANN quality evaluation — recall@10 of the IVF index (q28) against
+    * the exact brute-force top-10 (q16), per query: THE metric an ANN
+    * deployment is judged by. Pure composition of two already-verified
+    * frames — exact and approximate top-k join on (query_id,
+    * neighbor_id), count hits, left join back so 0-recall queries
+    * surface instead of vanishing. The oracle re-derives the exact side
+    * by brute-force SQL and the approximate side by reranking the
+    * engine's own IVF candidate sidecar (the o28 device), so a recall
+    * regression in EITHER index path fails the compare. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val exact = q16(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = q28(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    t(s, dir, "embeddings").where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .orderBy("query_id")
+  }
+
+  private lazy val o123 =
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       |                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+       |             e.vec_id) AS rank
+       |    FROM embeddings q, embeddings e
+       |    WHERE q.vec_id % 100 = 0 AND q.vec_id <> e.vec_id)
+       |  WHERE rank <= 10),
+       |cand AS (SELECT query_id, neighbor_id
+       |         FROM read_parquet('${Sidecars.annIvfPath}/*.parquet')),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |             ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       |                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+       |             c.neighbor_id) AS rank
+       |    FROM cand c
+       |    JOIN embeddings q ON q.vec_id = c.query_id
+       |    JOIN embeddings e ON e.vec_id = c.neighbor_id)
+       |  WHERE rank <= 10),
+       |hits AS (SELECT exact.query_id, count(*) AS n_hit
+       |         FROM exact JOIN approx USING (query_id, neighbor_id)
+       |         GROUP BY 1)
+       |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit
+       |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+       |WHERE q.vec_id % 100 = 0 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4627,7 +4681,8 @@ object Queries {
     "q119_containment_join" -> (q119 _),
     "q120_radius_join" -> (q120 _),
     "q121_collocation_lift" -> (q121 _),
-    "q122_sorted_neighborhood" -> (q122 _)
+    "q122_sorted_neighborhood" -> (q122 _),
+    "q123_ann_recall" -> (q123 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4752,6 +4807,7 @@ object Queries {
     "q119_containment_join" -> o119,
     "q120_radius_join" -> o120,
     "q121_collocation_lift" -> o121,
-    "q122_sorted_neighborhood" -> o122
+    "q122_sorted_neighborhood" -> o122,
+    "q123_ann_recall" -> o123
   )
 }

@@ -4428,10 +4428,15 @@ object Queries {
       .where(length(col("tok")) > 0)
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
     val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    // eager localCheckpoint: bi feeds BOTH the corpus total and the
+    // filtered score frame — without it the corpus-sized adjacency
+    // self-join executes twice (the q103 lesson); the checkpointed
+    // frame itself is dictionary²-bounded, never corpus-sized
     val bi = toks.alias("a").join(toks.alias("b"),
         col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
       .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
       .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
     val nBi = bi.agg(sum("n_ab").as("n_bi"))
     bi.where(col("n_ab") >= 5)
       .join(uni.select(col("tok").as("ta"), col("n").as("n_a")), "ta")

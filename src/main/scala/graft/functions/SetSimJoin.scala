@@ -99,11 +99,112 @@ object SetSimJoin {
                                 tNum: Long, tDen: Long): DataFrame =
     candAndRanked(docs, idCol, wordsCol, tNum, tDen)._1.select("a_id", "b_id")
 
+  // ---------------------------------------------------------------------
+  // Dense-corpus path: bitset signatures over a tiny global vocabulary.
+  //
+  // Prefix filtering assumes rare tokens exist; on an adversarially DENSE
+  // corpus (vocabulary of a few dozen tokens, every token hot) every
+  // prefix token has df ≈ corpus size and the candidate equi-join
+  // degenerates toward corpus². But a vocabulary that fits 62 bits admits
+  // an exact representation the prefix family can't touch: each distinct
+  // token SET is one long bitmask, |A∩B| = bit_count(a&b) and
+  // |A∪B| = bit_count(a|b), so the candidate generator collapses to a
+  // broadcast nested-loop join over DISTINCT masks (D ≤ MaxDenseClasses
+  // rows of 8 bytes) with a popcount predicate — D² integer ops, no
+  // array shuffle, no verification stage. Doc pairs are then expanded by
+  // two mask-keyed hash joins back to the (doc_id, mask) frame, so huge
+  // duplicate classes never materialize as giant collected rows. On a
+  // dense corpus the RESULT is what's quadratic (k identical docs emit
+  // k² pairs no matter the algorithm); this path makes everything before
+  // the unavoidable expansion O(corpus + D²).
+  //
+  // Routing costs one narrow approx_count_distinct pass over the token
+  // column; sparse corpora (real web text) fail the 62-bit probe and
+  // keep the WWW'07 prefix-filter plan unchanged.
+  // ---------------------------------------------------------------------
+
+  private val MaxDenseBits = 62
+  private val MaxDenseClasses = 20000L
+
+  /** (doc_id, mask) + distinct-mask frames when the corpus is dense
+    * enough for the bitset path, else None. Both frames are eagerly
+    * localCheckpoint'd: `sets` feeds both expansion joins, `masks` both
+    * sides of the BNLJ, and the checkpointed sizes let AQE broadcast
+    * them from true stats. */
+  private def denseSets(docs: DataFrame, idCol: String,
+                        wordsCol: String): Option[(DataFrame, DataFrame)] = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
+    // one cheap pass; 5% rsd cannot confuse a 62-token vocabulary with a
+    // web-scale one, so the later exact count only ever runs on tiny dicts
+    val approx = toks.agg(approx_count_distinct(col("tok")).as("v")).head().getLong(0)
+    if (approx > 2L * MaxDenseBits) return None
+    val dict = toks.select("tok").distinct()
+      .withColumn("bit", row_number().over(Window.orderBy(col("tok"))) - 1)
+      .localCheckpoint(true)
+    if (dict.count() > MaxDenseBits) return None
+    // bit_or, not sum: robust even if a caller passes non-deduped arrays
+    val sets = toks.join(broadcast(dict), "tok")
+      .groupBy("doc_id").agg(expr("bit_or(shiftleft(1L, bit))").as("mask"))
+      .localCheckpoint(true)
+    val masks = sets.select("mask").distinct().localCheckpoint(true)
+    if (masks.count() > MaxDenseClasses) None else Some((sets, masks))
+  }
+
+  private def denseJaccard(sets: DataFrame, masks: DataFrame,
+                           tNum: Long, tDen: Long): DataFrame = {
+    val am = col("am"); val bm = col("bm")
+    // am <= bm visits each unordered CLASS pair once (incl. the diagonal
+    // for within-class duplicates); D² popcounts, 8-byte broadcast rows
+    val mp = masks.select(col("mask").as("am"))
+      .join(broadcast(masks.select(col("mask").as("bm"))),
+        am <= bm &&
+          bit_count(am.bitwiseAND(bm)) * lit(tDen) >= bit_count(am.bitwiseOR(bm)) * lit(tNum))
+      .localCheckpoint(true)
+    sets.select(col("doc_id").as("x"), col("mask").as("am"))
+      .join(mp, "am")
+      .join(sets.select(col("doc_id").as("y"), col("mask").as("bm")), "bm")
+      // cross-class pairs are unique already; the diagonal would emit
+      // both (x,y) and (y,x) → keep x < y there
+      .where(am < bm || col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"),
+        bit_count(am.bitwiseAND(bm)).as("n_common"),
+        bit_count(am.bitwiseOR(bm)).as("n_union"))
+  }
+
+  private def denseContainment(sets: DataFrame, masks: DataFrame,
+                               tNum: Long, tDen: Long): DataFrame = {
+    val am = col("am"); val bm = col("bm")
+    // directed predicate: both orientations of each class pair are
+    // distinct join rows (and the diagonal always qualifies: A ⊇ A)
+    val mp = masks.select(col("mask").as("am"))
+      .join(broadcast(masks.select(col("mask").as("bm"))),
+        bit_count(am.bitwiseAND(bm)) * lit(tDen) >= bit_count(am) * lit(tNum))
+      .localCheckpoint(true)
+    sets.select(col("doc_id").as("x"), col("mask").as("am"))
+      .join(mp, "am")
+      .join(sets.select(col("doc_id").as("y"), col("mask").as("bm")), "bm")
+      .where(col("x") =!= col("y"))
+      .select(col("x").as("contained_id"), col("y").as("container_id"),
+        bit_count(am.bitwiseAND(bm)).as("n_common"),
+        bit_count(am).as("a_len"))
+  }
+
   /** All pairs with Jaccard(words_a, words_b) ≥ tNum/tDen, exactly.
     * `wordsCol` must hold de-duplicated token arrays. Output:
-    * (a_id, b_id, n_common, n_union) with a_id < b_id. */
+    * (a_id, b_id, n_common, n_union) with a_id < b_id. Adaptive: a
+    * ≤62-token vocabulary routes to the bitset-signature plan, anything
+    * larger to prefix filtering — both exact, same output. */
   def jaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
                       tNum: Long, tDen: Long): DataFrame =
+    denseSets(docs, idCol, wordsCol) match {
+      case Some((sets, masks)) => denseJaccard(sets, masks, tNum, tDen)
+      case None                => sparseJaccardSelfJoin(docs, idCol, wordsCol, tNum, tDen)
+    }
+
+  /** Prefix-filtered Jaccard plan, unconditionally (exposed for tests). */
+  private[graft] def sparseJaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
+                                           tNum: Long, tDen: Long): DataFrame =
     prefixCandidates(docs, idCol, wordsCol, tNum, tDen)
       .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
       .withColumn("n_union", col("a_len") + col("b_len") - col("n_common"))
@@ -128,9 +229,19 @@ object SetSimJoin {
     * what keeps the candidate count near df(rare)² instead of corpus².
     * Length (|B| ≥ α) and PPJoin positional filters apply unchanged;
     * verification intersects the same sorted rank arrays, and the
-    * threshold stays an exact rational. Output equals brute force. */
+    * threshold stays an exact rational. Output equals brute force.
+    * Adaptive like [[jaccardSelfJoin]]: ≤62-token vocabularies take the
+    * bitset plan (where one-sided pruning has nothing rare to index). */
   def containmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                          tNum: Long, tDen: Long): DataFrame = {
+                          tNum: Long, tDen: Long): DataFrame =
+    denseSets(docs, idCol, wordsCol) match {
+      case Some((sets, masks)) => denseContainment(sets, masks, tNum, tDen)
+      case None                => sparseContainmentSelfJoin(docs, idCol, wordsCol, tNum, tDen)
+    }
+
+  /** Prefix-filtered containment plan, unconditionally (exposed for tests). */
+  private[graft] def sparseContainmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
+                                               tNum: Long, tDen: Long): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
     val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("tok"))))

@@ -1393,6 +1393,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!gotSet.exists(p => p._1 >= 4L || p._2 >= 4L)) // noise prunes out
   }
 
+  test("set-similarity dense path: bitset plan equals brute force and the sparse plan") {
+    import spark.implicits._
+    // 30-token vocabulary -> the adaptive router must take the bitset
+    // path; mix of exact-duplicate classes (diagonal expansion), a
+    // boundary subset, an asymmetric container, and disjoint noise
+    val ten = (0 until 10).map(w => s"t$w")
+    val docs = (
+      Seq(0L, 1L, 2L).map(i => (i, ten)) ++                       // identical class of 3
+        Seq((3L, ten.take(9)),                                    // 9/10 boundary vs class
+          (4L, (0 until 20).map(w => s"t$w")),                    // container of the class
+          (5L, (20 until 30).map(w => s"t$w")))                   // disjoint noise
+      ).toDF("doc_id", "words")
+    def bruteJ = {
+      val a = docs.select(col("doc_id").as("a_id"), col("words").as("aw"))
+      val b = docs.select(col("doc_id").as("b_id"), col("words").as("bw"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
+        .withColumn("n_union", size(col("aw")) + size(col("bw")) - col("n_common"))
+        .where(col("n_common") * 10 >= col("n_union") * 9)
+        .select("a_id", "b_id", "n_common", "n_union")
+    }
+    def bruteC = {
+      val a = docs.select(col("doc_id").as("a_id"), col("words").as("aw"))
+      val b = docs.select(col("doc_id").as("b_id"), col("words").as("bw"))
+      a.crossJoin(b).where(col("a_id") =!= col("b_id"))
+        .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
+        .withColumn("a_len", size(col("aw")))
+        .where(col("n_common") * 10 >= col("a_len") * 9)
+        .select("a_id", "b_id", "n_common", "a_len")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val jac = graft.functions.SetSimJoin.jaccardSelfJoin(docs, "doc_id", "words", 9L, 10L)
+    // routing proof: the dense expansion computes popcounts in the final
+    // plan (the BNLJ itself ran eagerly at localCheckpoint time)
+    assert(jac.queryExecution.executedPlan.toString.contains("bit_count"))
+    val jSet = key(jac)
+    assert(jSet == key(bruteJ))
+    assert(jSet == key(graft.functions.SetSimJoin
+      .sparseJaccardSelfJoin(docs, "doc_id", "words", 9L, 10L)))
+    // duplicate class expands to its 3 within-class pairs exactly once each
+    assert(Seq((0L, 1L), (0L, 2L), (1L, 2L)).forall(p => jSet.contains((p._1, p._2, 10, 10))))
+    val con = graft.functions.SetSimJoin.containmentSelfJoin(docs, "doc_id", "words", 9L, 10L)
+    assert(con.queryExecution.executedPlan.toString.contains("bit_count"))
+    val cSet = key(con)
+    assert(cSet == key(bruteC))
+    assert(cSet == key(graft.functions.SetSimJoin
+      .sparseContainmentSelfJoin(docs, "doc_id", "words", 9L, 10L)))
+    assert(cSet.contains((0L, 4L, 10, 10)))   // contained in the longer doc
+    assert(!cSet.contains((4L, 0L, 10, 20)))  // directed
+    assert(cSet.contains((3L, 0L, 9, 9)))     // boundary subset
+    assert(!cSet.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint noise out
+  }
+
   test("SampleNegatives: interval boundaries, md5 offset parity, determinism") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}

@@ -3584,6 +3584,7 @@ object Queries {
   private def q103(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(true) // scan+distinct once; both self-join sides read the blocks
     // The distinct edge list feeds THREE consumers (deg, keyed, ne);
     // eager localCheckpoint makes the expensive co-occurrence self-join
     // execute exactly once instead of per-consumer under AQE. Same for

@@ -1950,10 +1950,16 @@ object Queries {
 
   /** The q66 coarse quantizer: deterministic spherical k-means (bounded
     * hash-ordered sample, fixed seed path — [[graft.functions.Ann.trainIvfCentroids]]),
-    * shared by the query and the [[Sidecars]] centroid dump. */
+    * shared by the query and the [[Sidecars]] centroid dump. Memoized
+    * per dataset dir — training is deterministic and the testdata dirs
+    * are immutable, so q66/q101/q102 and the sidecar dump share one
+    * sample-collect + Lloyd run per JVM instead of re-training each. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private[graft] def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    graft.functions.Ann.trainIvfCentroids(
-      t(s, dir, "embeddings"), dim = 64, nList = 16)
+    centroidCache.computeIfAbsent(dir, _ =>
+      graft.functions.Ann.trainIvfCentroids(
+        t(s, dir, "embeddings"), dim = 64, nList = 16))
 
   /** Semantic cluster assignment (the batch k-means-inference shape used
     * for corpus bucketing / semantic dedup prefilters): every vector
@@ -3428,9 +3434,13 @@ object Queries {
   /** The q101 product-quantization codebooks: M=8 subspaces × K=16 codes
     * over the 64-dim embeddings, trained driver-locally on the bounded
     * deterministic sample ([[graft.functions.Pq.trainCodebooks]]) —
-    * shared by the query and the [[Sidecars]] codebook dump. */
+    * shared by the query and the [[Sidecars]] codebook dump. Memoized
+    * per dataset dir like [[kmeansCentroids]]. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
   private[graft] def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    graft.functions.Pq.trainCodebooks(t(s, dir, "embeddings"), dim = 64, m = 8, k = 16)
+    codebookCache.computeIfAbsent(dir, _ =>
+      graft.functions.Pq.trainCodebooks(t(s, dir, "embeddings"), dim = 64, m = 8, k = 16))
 
   /** IVF-PQ ANN — the compressed-vector completion of the similarity
     * stack (q16 exact → q27 LSH → q28 IVF+exact-rerank → q101 IVF+PQ):

@@ -1447,6 +1447,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cSet.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint noise out
   }
 
+  test("set-similarity router boundary: 62-token vocab goes dense, 63 stays sparse") {
+    import spark.implicits._
+    // identical doc pairs at both vocab sizes; results must agree either way
+    def docs(v: Int) = Seq(
+      (0L, (0 until v).map(w => s"t$w")),
+      (1L, (0 until v).map(w => s"t$w")),
+      (2L, (0 until v - 1).map(w => s"t$w"))).toDF("doc_id", "words")
+    def run(v: Int) = {
+      val j = graft.functions.SetSimJoin.jaccardSelfJoin(docs(v), "doc_id", "words", 9L, 10L)
+      (j.queryExecution.executedPlan.toString.contains("bit_count"),
+        j.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet)
+    }
+    val (dense62, r62) = run(62)
+    val (dense63, r63) = run(63)
+    assert(dense62, "62-token vocabulary must take the bitset path")
+    assert(!dense63, "63 tokens exceeds the 62-bit cap - must stay on the prefix plan")
+    // at v tokens: pair (0,1) identical; (2,0)/(2,1) at (v-1)/v >= 0.9
+    assert(r62 == Set((0L, 1L, 62, 62), (0L, 2L, 61, 62), (1L, 2L, 61, 62)))
+    assert(r63 == Set((0L, 1L, 63, 63), (0L, 2L, 62, 63), (1L, 2L, 62, 63)))
+  }
+
   test("SampleNegatives: interval boundaries, md5 offset parity, determinism") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}

@@ -4575,6 +4575,90 @@ object Queries {
        |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
        |WHERE q.vec_id % 100 = 0 ORDER BY 1""".stripMargin
 
+  /** Incremental ingest dedup — the daily operation of a training-data
+    * pipeline: admit a NEW batch against the committed corpus snapshot
+    * without ever shuffling the corpus by more than a constant factor.
+    * Exact layer: md5 content-key equi-join (the batch side is the
+    * small build side, so the history scan streams). Near layer: SimHash
+    * banding via [[graft.functions.NearDup.bandedJoin]] (16-bit bands,
+    * hamming ≤ 3 < 4 bands — recall pigeonhole-EXACT, so the oracle can
+    * pin it with plain SQL). Verdict precedence exact > near > new;
+    * match_id = the smallest matching history doc (−1 for new). History
+    * reads the [[Sidecars]] SnapshotTable (2 appends, unioned manifest)
+    * while the oracle recomputes history from the SOURCE documents
+    * table — a stale snapshot fails the compare loudly (the q106
+    * inverted-staleness contract). Injected exact duplicates (every
+    * doc_id % 100 == 1 history doc re-keyed past max(doc_id), q29's
+    * disjoint-range device, mirrored in o124's mx CTE) guarantee all
+    * three verdicts exist at every scale factor. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
+    val hist = graft.sources.SnapshotTable.scan(s, Sidecars.snapshotDocsPath)
+      .select(col("doc_id"), col("text"))
+    val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mxRow = src.agg(max("doc_id")).head()
+    val off = (if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)) + 1L
+    val batch = src.where(col("doc_id") % 10 === 0)
+      .unionAll(src.where(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      ec(SimHash64(ee(split(lower(col("text")), "\\s+")))).as("simhash"))
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("k"))
+      .join(hist.select(md5(col("text")).as("k"), col("doc_id").as("h_id")), "k")
+      .groupBy("doc_id").agg(min("h_id").as("exact_of"))
+    val near = graft.functions.NearDup.bandedJoin(
+        sh(batch), "doc_id", "simhash", sh(hist), "doc_id", "simhash",
+        bandBits = 16, maxHamming = 3)
+      .groupBy(col("probe_id").as("doc_id"))
+      .agg(min("base_id").as("near_of"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  private val o124 =
+    """WITH src AS (SELECT doc_id, text FROM documents),
+      |mx AS (SELECT max(doc_id) + 1 AS off FROM src),
+      |batch AS (SELECT doc_id, text FROM src WHERE doc_id % 10 = 0
+      |          UNION ALL
+      |          SELECT doc_id + mx.off, text FROM src, mx WHERE doc_id % 100 = 1),
+      |hist AS (SELECT doc_id, text FROM src WHERE doc_id % 10 <> 0),
+      |ex AS (SELECT b.doc_id, min(h.doc_id) AS m
+      |       FROM batch b JOIN hist h ON md5(b.text) = md5(h.text) GROUP BY 1),
+      |alld AS (SELECT doc_id, text, 1 AS isb FROM batch
+      |         UNION ALL SELECT doc_id, text, 0 FROM hist),
+      |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM alld),
+      |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bits.b AS b,
+      |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(64)) AS b) bits
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS UBIGINT) AS u
+      |  FROM votes GROUP BY 1),
+      |bands AS (
+      |  SELECT s.doc_id, a.isb, s.u, bd.band AS band, (s.u >> (bd.band * 16)) & 65535 AS bucket
+      |  FROM sh s JOIN alld a USING (doc_id), (SELECT unnest(range(4)) AS band) bd),
+      |np AS (SELECT p.doc_id, min(h.doc_id) AS m
+      |       FROM bands p JOIN bands h ON p.band = h.band AND p.bucket = h.bucket
+      |       WHERE p.isb = 1 AND h.isb = 0 AND bit_count(xor(p.u, h.u)) <= 3
+      |       GROUP BY 1)
+      |SELECT b.doc_id,
+      |       CASE WHEN ex.m IS NOT NULL THEN 'exact'
+      |            WHEN np.m IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+      |       CAST(COALESCE(ex.m, np.m, -1) AS BIGINT) AS match_id
+      |FROM batch b LEFT JOIN ex ON ex.doc_id = b.doc_id
+      |             LEFT JOIN np ON np.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4698,7 +4782,8 @@ object Queries {
     "q120_radius_join" -> (q120 _),
     "q121_collocation_lift" -> (q121 _),
     "q122_sorted_neighborhood" -> (q122 _),
-    "q123_ann_recall" -> (q123 _)
+    "q123_ann_recall" -> (q123 _),
+    "q124_ingest_dedup" -> (q124 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4824,6 +4909,7 @@ object Queries {
     "q120_radius_join" -> o120,
     "q121_collocation_lift" -> o121,
     "q122_sorted_neighborhood" -> o122,
-    "q123_ann_recall" -> o123
+    "q123_ann_recall" -> o123,
+    "q124_ingest_dedup" -> o124
   )
 }

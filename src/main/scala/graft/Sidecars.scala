@@ -36,6 +36,7 @@ object Sidecars {
   val augPixelsPath = s"$root/aug_tile_pixels.parquet"
   val channelSumsPath = s"$root/tiles_channel_sums.parquet"
   val snapshotEventsPath = s"$root/snapshot_events"
+  val snapshotDocsPath = s"$root/snapshot_docs"
   val cclNodesPath = s"$root/ccl_nodes.parquet"
   val cclClaimsPath = s"$root/ccl_claims.parquet"
   val unicodeDocsPath = s"$root/unicode_docs.parquet"
@@ -156,6 +157,22 @@ object Sidecars {
           graft.sources.SnapshotTable.append(s, snapshotEventsPath,
             ev.where(pred).repartitionByRange(4, col("event_id")), Seq("event_id"))
         }
+    }
+    // q124: the committed document-corpus snapshot (the history side of
+    // the incremental ingest-dedup operator) — 2 appends so the scan
+    // resolves a unioned manifest; same inverted staleness contract as
+    // q106: the query reads THIS table, the oracle recomputes history
+    // from the source documents table, so a stale snapshot fails loudly.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(snapshotDocsPath)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").where(col("doc_id") % 10 =!= 0)
+      Seq(col("doc_id") % 10 <= 5, col("doc_id") % 10 > 5).foreach { pred =>
+        graft.sources.SnapshotTable.append(s, snapshotDocsPath,
+          docs.where(pred).repartitionByRange(2, col("doc_id")), Seq("doc_id"))
+      }
     }
     // q112: the deterministic non-ASCII fixture corpus (both engines
     // read the SAME parquet, so the compare isolates the normalization

@@ -42,4 +42,36 @@ object NearDup {
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Banded near-dup join of a PROBE frame against a BASE frame — the
+    * INGEST shape: a small new batch is matched against a huge existing
+    * corpus without the corpus ever fanning out by more than nBands or
+    * entering a cross product. Both sides explode their band buckets and
+    * meet in a plain (band, bucket) equi-join, so the base side shuffles
+    * once on a partitionable key (or stays put while the banded probe
+    * broadcasts, when the batch is small — AQE's call). Same pigeonhole
+    * recall contract as [[bandedSelfJoin]]: EXACT when
+    * maxHamming < nBands. Output (probe_id, base_id, hamming),
+    * deduplicated across bands; ids need not be disjoint (a shared id
+    * matches like any other pair — callers filter if self-matches are
+    * meaningless). */
+  def bandedJoin(probe: DataFrame, probeId: String, probeHash: String,
+                 base: DataFrame, baseId: String, baseHash: String,
+                 bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32, s"bandBits $bandBits out of range")
+    val nBands = (64 + bandBits - 1) / bandBits
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, h: String, outId: String, outH: String) =
+      df.select(col(id).as(outId), col(h).as(outH),
+          posexplode(array((0 until nBands).map(b =>
+            shiftrightunsigned(col(h), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded(probe, probeId, probeHash, "probe_id", "p_h")
+      .join(banded(base, baseId, baseHash, "base_id", "b_h"), Seq("band", "bucket"))
+      .select("probe_id", "base_id", "p_h", "b_h").distinct()
+      .withColumn("hamming",
+        Exprs.col(Hamming64(Exprs.expr(col("p_h")), Exprs.expr(col("b_h")))))
+      .where(col("hamming") <= maxHamming)
+      .select("probe_id", "base_id", "hamming")
+  }
 }

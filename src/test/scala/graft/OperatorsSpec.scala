@@ -1447,6 +1447,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cSet.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint noise out
   }
 
+  test("NearDup.bandedJoin: cross-frame recall equals brute force at the pigeonhole bound") {
+    import spark.implicits._
+    // base hash 0; probes at hamming 0..4 with differing bits SPREAD
+    // across all four 16-bit bands (the adversarial placement: at
+    // hamming 4 every band differs, so banding legitimately may or may
+    // not find it — but <= 3 MUST be found, and the refine must cut 4)
+    def spread(k: Int): Long = (0 until k).map(i => 1L << (i * 16)).fold(0L)(_ | _)
+    val probe = (0 to 4).map(k => (k.toLong, spread(k))).toDF("doc_id", "h")
+    val base = Seq((100L, 0L), (101L, spread(4))).toDF("doc_id", "h")
+    val got = graft.functions.NearDup
+      .bandedJoin(probe, "doc_id", "h", base, "doc_id", "h", bandBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = probe.select(col("doc_id").as("p"), col("h").as("ph"))
+      .crossJoin(base.select(col("doc_id").as("b"), col("h").as("bh")))
+      .withColumn("ham", bit_count(col("ph").bitwiseXOR(col("bh"))))
+      .where(col("ham") <= 3)
+      .select("p", "b", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // probes 0..3 match base 100 (hamming k <= 3); probe 4 must NOT
+    // (refine cuts it even though bands still collide on band 4..);
+    // probe 1..4 match base 101 at hamming 4-k <= 3
+    assert(got.contains((0L, 100L, 0)) && got.contains((3L, 100L, 3)))
+    assert(!got.exists(p => p._1 == 4L && p._2 == 100L))
+    assert(got.contains((4L, 101L, 0)) && got.contains((1L, 101L, 3)))
+  }
+
   test("set-similarity router boundary: 62-token vocab goes dense, 63 stays sparse") {
     import spark.implicits._
     // identical doc pairs at both vocab sizes; results must agree either way

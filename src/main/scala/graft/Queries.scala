@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Synthetic
-import graft.functions.{Fingerprint, MinHashSig, PyRandomGolden, SimHash64}
+import graft.functions.{DotF64, Fingerprint, MinHashSig, PyRandomGolden, SimHash64}
 import graft.pipeline.{CellToTileCode, Exprs, KnnJoin, VegPipeline}
 
 /** The operator surface of the engine, one entry per SURVEY.md §2 operator
@@ -259,12 +259,12 @@ object Queries {
     * full table; fp64 throughout so DuckDB's list functions agree bitwise. */
   private def q16(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Exprs.{col => ec, expr => ee}
     val emb = t(s, dir, "embeddings")
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    def normD(a: Column): Column =
-      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    // native DotF64 ≡ the aggregate(zip_with(..)) fold bit-for-bit (same
+    // ascending IEEE order) — only the interpreted lambda dispatch goes
+    def dotD(a: Column, b: Column): Column = ec(DotF64(ee(a), ee(b)))
+    def normD(a: Column): Column = sqrt(ec(DotF64(ee(a), ee(a))))
     val q = emb.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val joined = q.crossJoin(broadcast(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))))
@@ -868,6 +868,7 @@ object Queries {
     * sub-ulp engine differences; the 0.98 threshold sits 0.012 above the
     * injected pairs' 0.992 and 0.38 above the densest true pair. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Exprs.{col => ec2, expr => ee2}
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     // max+1 offset keeps injected dup ids disjoint from real vec_ids at
@@ -880,10 +881,8 @@ object Queries {
     val all = emb.unionAll(dups)
     val a = all.select(col("vec_id").as("a_id"), col("e").as("ae"))
     val b = all.select(col("vec_id").as("b_id"), col("e").as("be"))
-    val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    def nrm(c: Column): Column =
-      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val dot = ec2(DotF64(ee2(col("ae")), ee2(col("be"))))
+    def nrm(c: Column): Column = sqrt(ec2(DotF64(ee2(c), ee2(c))))
     a.crossJoin(broadcast(b)).where(col("a_id") < col("b_id"))
       .withColumn("cos", dot / (nrm(col("ae")) * nrm(col("be"))))
       .where(col("cos") >= 0.98)
@@ -3536,10 +3535,8 @@ object Queries {
     val allv = emb.unionAll(dups)
       .withColumn("cluster",
         element_at(ec(graft.functions.IvfLists(ee(col("e")), cents, 1)), 1).cast("int"))
-    val dot = aggregate(zip_with(col("ae"), col("be"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    def nrm(c: Column): Column =
-      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val dot = ec(DotF64(ee(col("ae")), ee(col("be"))))
+    def nrm(c: Column): Column = sqrt(ec(DotF64(ee(c), ee(c))))
     val a = allv.select(col("cluster"), col("vec_id").as("a_id"), col("e").as("ae"))
     val b = allv.select(col("cluster"), col("vec_id").as("b_id"), col("e").as("be"))
     a.join(b, Seq("cluster")).where(col("a_id") < col("b_id"))
@@ -3930,12 +3927,12 @@ object Queries {
       nv.foreach(x => m = math.max(m, math.abs(x)))
       v = nv.map(_ / m)
     }
+    import graft.pipeline.Exprs.{col => ec2, expr => ee2}
     val vLit = array(v.map(lit).toIndexedSeq: _*)
     t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("pc1_micro",
-        floor(aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) * 1048576.0).cast("long"))
+        floor(ec2(DotF64(ee2(col("e")), ee2(vLit))) * 1048576.0).cast("long"))
       .select("vec_id", "pc1_micro").orderBy("vec_id")
   }
 

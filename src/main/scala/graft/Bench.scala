@@ -266,13 +266,14 @@ object Bench {
       "q91_mad_outliers", "q92_scd2_intervals", "q93_countmin_sketch",
       "q94_inverted_index", "q95_bm25_topk", "q96_sessionize",
       "q97_rank_auc", "q98_cohen_kappa", "q99_pagerank", "q100_calibration",
-      // q106/q112/q113 are excluded: they read fixtures/sidecars
+      // q106/q112/q113/q126 are excluded: they read fixtures/sidecars
       // Verify's setup builds, which need not exist at bench time
       "q101_ivfpq_adc", "q102_semdedup", "q103_triangle_census",
       "q104_feature_gram", "q105_pps_sample", "q107_ppjoin", "q108_mosaic_ccl",
       "q110_pca_power", "q111_negative_sample", "q117_span_coalesce",
       "q118_weighted_reservoir", "q119_containment_join", "q120_radius_join",
-      "q121_collocation_lift", "q122_sorted_neighborhood")
+      "q121_collocation_lift", "q122_sorted_neighborhood",
+      "q125_image_canonical")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

@@ -4656,6 +4656,171 @@ object Queries {
       |             LEFT JOIN np ON np.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Image near-dup cluster CANONICALIZATION — the keep-one-per-cluster
+    * step that turns q26's pairs into a curated image corpus: banded
+    * phash pairs (hamming ≤ 7, pigeonhole-exact) close into components
+    * ([[graft.functions.ConnectedComponents]]) and each cluster keeps
+    * its best member by quality (originals before perturbed copies,
+    * then sharper, then smaller id). Node ids come from
+    * [[graft.functions.GlobalRank.byStringKey]] — a dense 1-based rank
+    * over the image_id order, so the component's min label maps back to
+    * the lexicographically smallest image_id and the DuckDB oracle can
+    * re-derive the SAME ids with a plain row_number. Every shuffle is
+    * keyed (band bucket / node id / cluster label); the canonical pick
+    * is a label-PARTITIONED window, never SinglePartition. The input
+    * unions a 1-bit-perturbed copy of each tile (q26's device) so real
+    * clusters exist at every scale factor. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = phashBase(s, dir)
+    val dups = base0.select(concat(col("image_id"), lit("~d")).as("image_id"),
+      col("phash").bitwiseXOR(lit(1L << 21)).as("phash"))
+    val all0 = base0.unionAll(dups)
+    val ranked = graft.functions.GlobalRank
+      .byStringKey(all0, "image_id", "phash", "rid")
+      .select("image_id", "rid")
+    val pairs = graft.functions.NearDup
+      .bandedSelfJoin(all0, "image_id", "phash", bandBits = 8, maxHamming = 7)
+    val edges = pairs
+      .join(ranked.select(col("image_id").as("a_id"), col("rid").as("src")), "a_id")
+      .join(ranked.select(col("image_id").as("b_id"), col("rid").as("dst")), "b_id")
+      .select("src", "dst")
+    val comps = graft.functions.ConnectedComponents
+      .run(ranked.select(col("rid").as("id")), edges)
+    val withId = comps.join(ranked.select(col("rid").as("id"), col("image_id")), "id")
+    val labId = ranked.select(col("rid").as("label"), col("image_id").as("cluster_id"))
+    val sizes = withId.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val stats = imageStatsBase(s, dir)
+      .select(col("image_id").as("base_id"), col("sharpness"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("is_dup").asc, col("sharpness").desc, col("image_id").asc)
+    withId
+      .withColumn("is_dup", col("image_id").endsWith("~d").cast("int"))
+      .withColumn("base_id", regexp_replace(col("image_id"), "~d$", ""))
+      .join(stats, "base_id")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "label").join(labId, "label")
+      .select(col("image_id"), col("cluster_id"), col("cluster_size"),
+        (col("rk") === 1).cast("int").as("keep"))
+      .orderBy("image_id")
+  }
+
+  /** o125: the full derivation in SQL over the phash + image-stats
+    * sidecars — o26's banding/hamming, the o47 recursive min-label
+    * closure over row_number node ids, and the quality-ranked canonical
+    * pick. Two independent stacks must agree on every keep bit. */
+  private lazy val o125 = {
+    val p = Sidecars.phashPath
+    val q = Sidecars.imageStatsPath
+    s"""WITH RECURSIVE base AS (SELECT image_id, phash FROM read_parquet('$p/*.parquet')),
+       |all_t AS (
+       |  SELECT image_id, phash FROM base
+       |  UNION ALL SELECT image_id || '~d', xor(phash, 2097152) FROM base),
+       |r AS (SELECT image_id, row_number() OVER (ORDER BY image_id) AS rid FROM all_t),
+       |u AS (
+       |  SELECT image_id, phash,
+       |         CAST(phash AS HUGEINT) + CASE WHEN phash < 0
+       |           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS up
+       |  FROM all_t),
+       |bands AS (
+       |  SELECT image_id, phash, bd.band AS band,
+       |         (up // (1::HUGEINT << (bd.band * 8))) % 256 AS bucket
+       |  FROM u, (SELECT unnest(range(8)) AS band) bd),
+       |pairs AS (
+       |  SELECT DISTINCT a.image_id AS a_id, a.phash AS ah,
+       |                  b.image_id AS b_id, b.phash AS bh
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.image_id < b.image_id),
+       |p2 AS (SELECT a_id, b_id FROM pairs WHERE bit_count(xor(ah, bh)) <= 7),
+       |er AS (SELECT ra.rid AS src, rb.rid AS dst
+       |       FROM p2 JOIN r ra ON ra.image_id = a_id JOIN r rb ON rb.image_id = b_id),
+       |edges AS (SELECT src, dst FROM er UNION ALL SELECT dst, src FROM er),
+       |cc(id, lbl) AS (
+       |  SELECT rid, rid FROM r
+       |  UNION
+       |  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id),
+       |comp AS (SELECT id, min(lbl) AS label FROM cc GROUP BY 1),
+       |named AS (SELECT r.image_id, c.label FROM comp c JOIN r ON r.rid = c.id),
+       |lab AS (SELECT rid AS label, image_id AS cluster_id FROM r),
+       |sz AS (SELECT label, count(*) AS cluster_size FROM named GROUP BY 1),
+       |qual AS (
+       |  SELECT n.image_id, n.label,
+       |         CAST(n.image_id LIKE '%~d' AS INT) AS is_dup, s.sharpness
+       |  FROM named n JOIN read_parquet('$q/*.parquet') s
+       |    ON s.image_id = CASE WHEN n.image_id LIKE '%~d'
+       |         THEN substr(n.image_id, 1, length(n.image_id) - 2)
+       |         ELSE n.image_id END),
+       |rk AS (SELECT image_id, label,
+       |              row_number() OVER (PARTITION BY label
+       |                ORDER BY is_dup, sharpness DESC, image_id) AS rk
+       |       FROM qual)
+       |SELECT rk.image_id, lab.cluster_id, sz.cluster_size,
+       |       CAST(rk.rk = 1 AS INT) AS keep
+       |FROM rk JOIN sz USING (label) JOIN lab USING (label)
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Snapshot-table COMPACTION PLANNER — the small-files maintenance
+    * operation of the Iceberg mechanics (q106): bin-pack the current
+    * manifest's data files into ~4 equal-row compaction groups in
+    * stat-key order, so each rewritten file stays range-clustered on
+    * the skipping key and manifest pruning keeps working after the
+    * rewrite. Pure MANIFEST-level planning — no data file is read; at
+    * 10^12 images the manifest is the only thing that scales, and its
+    * cumulative-rows scan runs through [[graft.functions.PrefixSum]]
+    * (range-bucketed two-pass, no SinglePartition window) so even a
+    * multi-million-entry manifest plans distributed. Deterministic
+    * next-fit: bin = floor(rows_before / target), target =
+    * max(1, ceil(total/4)) — a pure function of the manifest, which is
+    * what lets DuckDB re-derive the identical plan. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    compactionPlan(s, Sidecars.snapshotEventsPath, "event_id")
+
+  /** The q126 planner over any snapshot-table root (separated so specs
+    * can drive it against their own temp tables). */
+  private[graft] def compactionPlan(s: SparkSession, root: String,
+                                    statCol: String): DataFrame = {
+    val man = graft.sources.SnapshotTable
+      .manifest(s, root)
+      .select(col("file"), col("rows").cast("long").as("rows"),
+        col(s"min_$statCol").cast("long").as("min_key"),
+        col(s"max_$statCol").cast("long").as("max_key"))
+    val total = man.agg(sum("rows")).head().getLong(0)
+    val target = math.max(1L, (total + 3L) / 4L)
+    val binned = graft.functions.PrefixSum
+      .runningTotal(man, "min_key", "rows", "cum")
+      .withColumn("bin", expr(s"(cum - rows) div ${target}L"))
+    val stats = binned.groupBy("bin").agg(
+      count(lit(1)).as("bin_files"), sum("rows").as("bin_rows"),
+      min("min_key").as("bin_min_key"), max("max_key").as("bin_max_key"))
+    binned.join(stats, "bin")
+      .select(col("file"), col("rows"), col("bin"), col("bin_files"),
+        col("bin_rows"), col("bin_min_key"), col("bin_max_key"))
+      .orderBy("file")
+  }
+
+  /** o126: the identical plan re-derived over the SAME committed
+    * manifest (v3 — Verify's setup always rebuilds the snapshot table
+    * as exactly three appends; a stale table resolves a later version
+    * engine-side and mismatches loudly, the q106 staleness contract). */
+  private lazy val o126 = {
+    val m = s"${Sidecars.snapshotEventsPath}/manifests/v3.parquet/*.parquet"
+    s"""WITH m AS (
+       |  SELECT file, CAST(rows AS BIGINT) AS rows,
+       |         CAST(min_event_id AS BIGINT) AS min_key,
+       |         CAST(max_event_id AS BIGINT) AS max_key
+       |  FROM read_parquet('$m')),
+       |t AS (SELECT greatest(CAST((sum(rows) + 3) // 4 AS BIGINT), 1) AS target FROM m),
+       |c AS (SELECT m.*, CAST(sum(rows) OVER (ORDER BY min_key) AS BIGINT) AS cum FROM m),
+       |b AS (SELECT c.*, CAST((cum - rows) // target AS BIGINT) AS bin FROM c, t),
+       |s AS (SELECT bin, count(*) AS bin_files, CAST(sum(rows) AS BIGINT) AS bin_rows,
+       |             min(min_key) AS bin_min_key, max(max_key) AS bin_max_key
+       |      FROM b GROUP BY 1)
+       |SELECT b.file, b.rows, b.bin, s.bin_files, s.bin_rows,
+       |       s.bin_min_key, s.bin_max_key
+       |FROM b JOIN s USING (bin) ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4780,7 +4945,9 @@ object Queries {
     "q121_collocation_lift" -> (q121 _),
     "q122_sorted_neighborhood" -> (q122 _),
     "q123_ann_recall" -> (q123 _),
-    "q124_ingest_dedup" -> (q124 _)
+    "q124_ingest_dedup" -> (q124 _),
+    "q125_image_canonical" -> (q125 _),
+    "q126_compaction_plan" -> (q126 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4907,6 +5074,8 @@ object Queries {
     "q121_collocation_lift" -> o121,
     "q122_sorted_neighborhood" -> o122,
     "q123_ann_recall" -> o123,
-    "q124_ingest_dedup" -> o124
+    "q124_ingest_dedup" -> o124,
+    "q125_image_canonical" -> o125,
+    "q126_compaction_plan" -> o126
   )
 }

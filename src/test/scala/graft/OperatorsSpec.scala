@@ -2610,4 +2610,67 @@ class OperatorsSpec extends AnyFunSuite {
     // ranks are a permutation of 1..N
     assert(a.map(_.getLong(2)) == (1L to 500L).toSet)
   }
+
+  // ------------------------------------------------ q125 image canonicalization
+
+  test("image canonicalization (q125): one keep per cluster, copies cluster with originals") {
+    val rows = Queries.all("q125_image_canonical")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // every tile appears once: originals + their ~d copies
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.count(_._1.endsWith("~d")) == rows.length / 2)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // exactly one canonical per cluster, and it is never a perturbed copy
+      val keeps = members.filter(_._4 == 1)
+      assert(keeps.length == 1, s"cluster $cid keeps ${keeps.length}")
+      assert(!keeps.head._1.endsWith("~d"), s"cluster $cid kept a copy")
+      // cluster id is the lexicographically smallest member
+      assert(cid == members.map(_._1).min, s"cluster $cid label mismatch")
+      // recorded size matches the actual member count
+      assert(members.forall(_._3 == members.length))
+    }
+    // a 1-bit phash perturbation is hamming 1 <= 7: every copy MUST share
+    // its original's cluster
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    rows.filter(_._1.endsWith("~d")).foreach { case (id, cid, _, _) =>
+      assert(cluster(id.dropRight(2)) == cid, s"$id split from its original")
+    }
+  }
+
+  // ------------------------------------------------ q126 compaction planner
+
+  test("compaction planner (q126): deterministic next-fit bins over a temp snapshot table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // three commits, deliberately uneven file sizes
+    Seq(0L until 100L, 100L until 130L, 130L until 400L).foreach { r =>
+      sources.SnapshotTable.append(spark,
+        root, r.map(i => (i, i % 7)).toDF("k", "v").repartitionByRange(3, col("k")),
+        Seq("k"))
+    }
+    val got = Queries.compactionPlan(spark, root, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // independent driver-side replication of the plan
+    val man = sources.SnapshotTable.manifest(spark, root)
+      .select("file", "rows", "min_k", "max_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    val total = man.map(_._2).sum
+    val target = math.max(1L, (total + 3L) / 4L)
+    var cum = 0L
+    val bins = man.map { case (f, rows, mn, mx) =>
+      val b = cum / target; cum += rows; (f, rows, mn, mx, b)
+    }
+    val stats = bins.groupBy(_._5).map { case (b, fs) =>
+      b -> ((fs.length.toLong, fs.map(_._2).sum, fs.map(_._3).min, fs.map(_._4).max))
+    }
+    val want = bins.map { case (f, rows, _, _, b) =>
+      val (nf, br, mn, mx) = stats(b); (f, rows, b, nf, br, mn, mx)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // bins cover the key space in order: nondecreasing bin along min_k order
+    assert(bins.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
 }

@@ -273,7 +273,7 @@ object Bench {
       "q110_pca_power", "q111_negative_sample", "q117_span_coalesce",
       "q118_weighted_reservoir", "q119_containment_join", "q120_radius_join",
       "q121_collocation_lift", "q122_sorted_neighborhood",
-      "q125_image_canonical")
+      "q125_image_canonical", "q127_bpe_pair_stats")
     // warmup (JIT + codegen caches), then interleaved min-of-N rounds
     headline.foreach(name => SparkEntry.queries(name)(spark, sfDir).count())
     val idx0 = buildIndex(tileS, gardensPath, ts)

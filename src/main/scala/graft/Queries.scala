@@ -4821,6 +4821,46 @@ object Queries {
        |FROM b JOIN s USING (bin) ORDER BY 1""".stripMargin
   }
 
+  /** Tokenizer-induction pair statistics — the first BPE merge-candidate
+    * scan (Sennrich et al. 2016, public): corpus-weighted counts of
+    * adjacent symbol pairs, computed over the word-TYPE dictionary with
+    * each type carrying its corpus frequency — the classic two-level
+    * shape that makes BPE induction tractable at 100 TB: the corpus is
+    * touched ONCE (the word groupBy), every later pass is bounded by
+    * |dictionary| × word length, and the pair re-aggregation collapses
+    * to ≤ alphabet² keys with map-side combine. Overlapping repeats
+    * count per position ("aaa" → two (a,a)), matching the reference
+    * algorithm. Output: top-20 merge candidates by weighted count,
+    * ties to the smaller (a, b) — via distributed
+    * TakeOrderedAndProject, never a global window. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    words.where(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 1)").as("a"),
+        expr("substr(w, i + 1, 1)").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val o127 =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |w AS (SELECT w, count(*) AS f FROM toks WHERE length(w) > 0 GROUP BY 1),
+      |p AS (
+      |  SELECT substr(w, CAST(i AS INT), 1) AS a,
+      |         substr(w, CAST(i AS INT) + 1, 1) AS b, f
+      |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i) r
+      |  WHERE length(w) >= 2),
+      |g AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS n_pairs FROM p GROUP BY 1, 2)
+      |SELECT a, b, n_pairs FROM g
+      |ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
     "q02_groupby_multi" -> (q02 _),
@@ -4947,7 +4987,8 @@ object Queries {
     "q123_ann_recall" -> (q123 _),
     "q124_ingest_dedup" -> (q124 _),
     "q125_image_canonical" -> (q125 _),
-    "q126_compaction_plan" -> (q126 _)
+    "q126_compaction_plan" -> (q126 _),
+    "q127_bpe_pair_stats" -> (q127 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5076,6 +5117,7 @@ object Queries {
     "q123_ann_recall" -> o123,
     "q124_ingest_dedup" -> o124,
     "q125_image_canonical" -> o125,
-    "q126_compaction_plan" -> o126
+    "q126_compaction_plan" -> o126,
+    "q127_bpe_pair_stats" -> o127
   )
 }

@@ -2638,6 +2638,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ q127 BPE pair stats
+
+  test("BPE pair stats (q127): hand-computed pair counts, overlap per position") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((0L, "aa ab aa"), (1L, "aaa b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q127_bpe_pair_stats")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // word types: aa(f=2) -> (a,a)x1 each occurrence = 2; aaa(f=1) -> two
+    // overlapping (a,a) positions = 2; ab(f=1) -> (a,b)=1; b has no pairs
+    assert(got == Seq(("a", "a", 4L), ("a", "b", 1L)))
+  }
+
   // ------------------------------------------------ q126 compaction planner
 
   test("compaction planner (q126): deterministic next-fit bins over a temp snapshot table") {

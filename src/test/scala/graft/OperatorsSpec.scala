@@ -2614,7 +2614,11 @@ class OperatorsSpec extends AnyFunSuite {
   // ------------------------------------------------ q125 image canonicalization
 
   test("image canonicalization (q125): one keep per cluster, copies cluster with originals") {
-    val rows = Queries.all("q125_image_canonical")(spark, "/root/testdata/sf0.001")
+    val df = Queries.all("q125_image_canonical")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "q125 must stay on the banded equi-join candidate path")
+    val rows = df
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
     // every tile appears once: originals + their ~d copies
     assert(rows.map(_._1).distinct.length == rows.length)
@@ -2646,7 +2650,11 @@ class OperatorsSpec extends AnyFunSuite {
     Seq((0L, "aa ab aa"), (1L, "aaa b"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("q127_bpe_pair_stats")(spark, dir).collect()
+    val df = SparkEntry.queries("q127_bpe_pair_stats")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q127 top-20 must plan the distributed top-k, not a global sort")
+    val got = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     // word types: aa(f=2) -> (a,a)x1 each occurrence = 2; aaa(f=1) -> two
     // overlapping (a,a) positions = 2; ab(f=1) -> (a,b)=1; b has no pairs

@@ -3319,8 +3319,16 @@ object Queries {
         expr("unix_micros(cast(ts as timestamp))").as("tus"))
       .withColumn("nxt", lead("event_type", 1).over(wo))
       .filter(col("nxt").isNotNull)
+    // The edge frame is |event_type|²-bounded (tiny) but its DERIVATION
+    // is the corpus-sized events scan + per-user window; eshare feeds
+    // every power iteration and nodes every iteration plus the final
+    // projection, so without eager materialization the events window
+    // re-executes once per consumer inside the final plan (~7 scans for
+    // 3 iterations). localCheckpoint both once: the corpus is scanned
+    // once and the iterations run over the checkpointed tiny frames.
     val edges = ev.groupBy(col("event_type").as("src"), col("nxt").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     val outw = edges.groupBy("src").agg(sum("w").as("out_w"))
     val eshare = edges.join(outw, "src")
       .withColumn("share", expr(s"w * ${P}L div out_w"))
@@ -3589,16 +3597,25 @@ object Queries {
     * the global closure fraction 3·triangles/wedges surfaces as a
     * floor'd per-mille integer so the compare is exact. */
   private def q103(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .localCheckpoint(true) // scan+distinct once; both self-join sides read the blocks
-    // The distinct edge list feeds THREE consumers (deg, keyed, ne);
-    // eager localCheckpoint makes the expensive co-occurrence self-join
-    // execute exactly once instead of per-consumer under AQE. Same for
-    // deg (keyed's two joins + census + the packing guard below).
-    val edges = li.as("x").join(li.as("y"), "ok")
-      .where(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
+    // Co-occurrence edges WITHOUT the corpus self-join: pairs within an
+    // order are local to that order, so one groupBy(ok) collects each
+    // order's distinct sorted part set (collect_set ≡ the old
+    // per-(ok,pk) distinct) and the q69-style in-row transform emits the
+    // x < y pairs map-side — the (ok,pk) frame crosses ONE Exchange
+    // (the groupBy) instead of three (distinct + both self-join sides),
+    // and per-order part sets are small (order-line bounded) so no row
+    // blows up. The edge list still feeds THREE consumers (deg, keyed,
+    // ne); eager localCheckpoint makes the derivation run exactly once
+    // instead of per-consumer under AQE. Same for deg (keyed's two
+    // joins + census + the packing guard below).
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))""".stripMargin))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
       .localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
@@ -4431,18 +4448,31 @@ object Queries {
     * empty-token filter on both sides, so a dropped empty token breaks
     * adjacency rather than splicing its neighbors together. */
   private def q121(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
       .where(length(col("tok")) > 0)
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
     val nUni = toks.agg(count(lit(1)).as("n_uni"))
-    // eager localCheckpoint: bi feeds BOTH the corpus total and the
-    // filtered score frame — without it the corpus-sized adjacency
-    // self-join executes twice (the q103 lesson); the checkpointed
-    // frame itself is dictionary²-bounded, never corpus-sized
-    val bi = toks.alias("a").join(toks.alias("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
+    // Adjacent pairs are LOCAL to each document's in-row token array, so
+    // the bigram generator is a map-only zip of the array with its own
+    // 1-shifted self — zero Exchange before the dictionary²-bounded
+    // groupBy, where the old (doc_id, pos) corpus self-join shuffled the
+    // exploded corpus twice. Pairs are formed over ORIGINAL positions
+    // first and pairs containing an empty token dropped after, so a
+    // dropped empty token still breaks adjacency rather than splicing
+    // its neighbors together (the semantics the oracle pins). Eager
+    // localCheckpoint: bi feeds BOTH the corpus total and the filtered
+    // score frame — the checkpointed frame itself is
+    // dictionary²-bounded, never corpus-sized.
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val bi = docs
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), n1).as("ta"),
+        slice(col("ws"), lit(2), n1).as("tb"))).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .where(length(col("ta")) > 0 && length(col("tb")) > 0)
       .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true)
     val nBi = bi.agg(sum("n_ab").as("n_bi"))

@@ -208,8 +208,7 @@ object Ann {
   * lengths (zip_with pads with null) or any null element → null. */
 case class DotF64(left: org.apache.spark.sql.catalyst.expressions.Expression,
                   right: org.apache.spark.sql.catalyst.expressions.Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.types._
 
@@ -241,6 +240,39 @@ case class DotF64(left: org.apache.spark.sql.catalyst.expressions.Expression,
     }
     acc
   }
+
+  /** Whole-stage codegen: the same ascending primitive loop emitted
+    * inline (the BloomMightContain pattern) — no per-row virtual
+    * dispatch, and the expression fuses into the surrounding stage
+    * instead of breaking it out of codegen. Fold order and null
+    * semantics are IDENTICAL to nullSafeEval (null on unequal lengths
+    * or any null element), so eval and codegen are bit-equal. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (lf) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: org.apache.spark.sql.catalyst.expressions.Expression,

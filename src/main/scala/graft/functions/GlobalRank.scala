@@ -70,4 +70,45 @@ object GlobalRank {
     local.withColumn(outCol, col("__grlocal") + offCol)
       .drop("__grp", "__grb", "__grlocal")
   }
+
+  /** Appends `outCol` = 1-based global row number ordered by
+    * (`longCol` asc, `strCol` asc) — the composite-key rank the
+    * SetSimJoin sparse path needs for its (df, tok) dictionary order —
+    * with the same two-pass shape as [[byStringKey]] but SAMPLE-BASED
+    * range bucketing (`repartitionByRange`), so heavily duplicated
+    * long keys (df = 1 owns most of a Zipf vocabulary) still spread
+    * across buckets by the string tiebreaker instead of collapsing
+    * into one:
+    *
+    *  1. range-partition by (longCol, strCol) into `buckets` ranges
+    *     (sampled split points; ties cannot straddle a boundary because
+    *     the composite key is unique) and eagerly localCheckpoint, so
+    *     the count pass and the rank pass see the SAME partitioning;
+    *  2. per-bucket local row_number (window partitioned by the bucket
+    *     id — each task sorts ~N/P rows, never a SinglePartition);
+    *  3. per-bucket row counts (P longs on the driver — a parallelism
+    *     knob, never data-sized) become exclusive offsets added back
+    *     map-side.
+    *
+    * (`longCol`, `strCol`) pairs must be unique (SetSimJoin's
+    * dictionary keys them by distinct token), making the rank
+    * deterministic end to end. */
+  def byLongStringKey(df: DataFrame, longCol: String, strCol: String,
+                      outCol: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val parted = df
+      .repartitionByRange(buckets, col(longCol).asc, col(strCol).asc)
+      .withColumn("__grb", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__grb").agg(count(lit(1)).as("__grn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }
+    val offCol = offsets.foldLeft(lit(0L)) { case (c, (b, o)) =>
+      when(col("__grb") === b, lit(o)).otherwise(c)
+    }
+    val w = Window.partitionBy("__grb").orderBy(col(longCol).asc, col(strCol).asc)
+    parted.withColumn(outCol, row_number().over(w).cast("long") + offCol)
+      .drop("__grb")
+  }
 }

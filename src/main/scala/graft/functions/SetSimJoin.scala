@@ -26,19 +26,41 @@ import org.apache.spark.sql.functions._
   *    "shares any rare token" to near the true result before any
   *    verification runs.
   *
-  * Tokens are dictionary-ranked to ints once (a |vocabulary|-sized
-  * window — bounded by the token dictionary like q90's |sources| window,
-  * never by the corpus), so the candidate join keys on an int and the
-  * exact verification intersects SORTED INT arrays carried through the
-  * join — no string comparisons and no join back to the corpus on the
-  * hot path. No false negatives at any stage — output EQUALS brute force
-  * (the q107 oracle re-derives it as the full quadratic join in SQL).
+  * The (df, tok) token dictionary is ranked to ints through
+  * [[GlobalRank.byLongStringKey]] — a two-pass distributed row_number
+  * (range-bucket local ranks + O(P) collected offsets), NOT a
+  * SinglePartition `Window.orderBy` — so a 10⁹-token web-corpus
+  * vocabulary ranks across the cluster instead of through one task.
+  * The candidate join then keys on an int and the exact verification
+  * intersects SORTED INT arrays carried through the join — no string
+  * comparisons and no join back to the corpus on the hot path. No false
+  * negatives at any stage — output EQUALS brute force (the q107 oracle
+  * re-derives it as the full quadratic join in SQL).
   *
   * The threshold is an exact rational tNum/tDen so every comparison is
   * integer arithmetic (tDen·|a∩b| ≥ tNum·|a∪b|) — no float thresholds
   * anywhere, bit-stable across engines.
   */
 object SetSimJoin {
+
+  private def tokensOf(docs: DataFrame, idCol: String, wordsCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
+
+  /** The (tok, df) dictionary — ONE pass over the exploded corpus that
+    * both routes (vocabulary size = dict row count, exact) and feeds
+    * whichever path runs: the dense path derives its bit assignment
+    * from it, the sparse path its rarest-first rank. Eagerly
+    * localCheckpoint'd: it has 2+ consumers and its true size lets AQE
+    * broadcast it when tiny. Replaces the former separate
+    * approx_count_distinct probe pass, so routing costs no extra scan. */
+  private def buildDict(toks: DataFrame): DataFrame =
+    toks.groupBy("tok").agg(count(lit(1)).as("df")).localCheckpoint(true)
+
+  /** Rarest-first int rank per token, distributed (no SinglePartition):
+    * the (df asc, tok asc) total order of the WWW'07 family. */
+  private def rankedDict(dict: DataFrame): DataFrame =
+    GlobalRank.byLongStringKey(dict, "df", "tok", "rank64")
+      .select(col("tok"), col("rank64").cast("int").as("rank"))
 
   /** Deduped candidate pairs with their rank-array payloads:
     * (a_id, b_id, aw, bw, a_len, b_len).
@@ -52,15 +74,10 @@ object SetSimJoin {
     * ranked frame (candidate-count rows × two ints on the probe side).
     * `ranked` is eagerly localCheckpoint'd because it feeds three
     * consumers (the prefix explode and both re-attach joins) — without
-    * it AQE would re-run the dictionary window per consumer. */
-  private def candAndRanked(docs: DataFrame, idCol: String, wordsCol: String,
+    * it AQE would re-run the dictionary rank per consumer. */
+  private def candAndRanked(toks: DataFrame, dict: DataFrame,
                             tNum: Long, tDen: Long): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
-    // global rarest-first dictionary: |vocab|-sized window, not corpus-sized
-    val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("tok"))))
-      .select("tok", "rank")
-    val ranked = toks.join(dict, "tok")
+    val ranked = toks.join(rankedDict(dict), "tok")
       .groupBy("doc_id").agg(sort_array(collect_list(col("rank"))).as("rw"))
       .select(col("doc_id"), col("rw"), size(col("rw")).as("len"))
       .withColumn("plen",
@@ -83,9 +100,9 @@ object SetSimJoin {
     (cand, ranked)
   }
 
-  private def prefixCandidates(docs: DataFrame, idCol: String, wordsCol: String,
+  private def prefixCandidates(toks: DataFrame, dict: DataFrame,
                                tNum: Long, tDen: Long): DataFrame = {
-    val (cand, ranked) = candAndRanked(docs, idCol, wordsCol, tNum, tDen)
+    val (cand, ranked) = candAndRanked(toks, dict, tNum, tDen)
     cand
       .join(ranked.select(col("doc_id").as("a_id"), col("rw").as("aw")), "a_id")
       .join(ranked.select(col("doc_id").as("b_id"), col("rw").as("bw")), "b_id")
@@ -96,8 +113,10 @@ object SetSimJoin {
     * prefix-filtering lemma. Exposed for the pruning-effectiveness
     * spec. */
   private[graft] def candidates(docs: DataFrame, idCol: String, wordsCol: String,
-                                tNum: Long, tDen: Long): DataFrame =
-    candAndRanked(docs, idCol, wordsCol, tNum, tDen)._1.select("a_id", "b_id")
+                                tNum: Long, tDen: Long): DataFrame = {
+    val toks = tokensOf(docs, idCol, wordsCol)
+    candAndRanked(toks, buildDict(toks), tNum, tDen)._1.select("a_id", "b_id")
+  }
 
   // ---------------------------------------------------------------------
   // Dense-corpus path: bitset signatures over a tiny global vocabulary.
@@ -118,9 +137,9 @@ object SetSimJoin {
   // k² pairs no matter the algorithm); this path makes everything before
   // the unavoidable expansion O(corpus + D²).
   //
-  // Routing costs one narrow approx_count_distinct pass over the token
-  // column; sparse corpora (real web text) fail the 62-bit probe and
-  // keep the WWW'07 prefix-filter plan unchanged.
+  // Routing reads the vocabulary size off the shared dictionary (no
+  // separate probe pass); sparse corpora (real web text) exceed the
+  // 62-bit budget and keep the WWW'07 prefix-filter plan unchanged.
   // ---------------------------------------------------------------------
 
   private val MaxDenseBits = 62
@@ -130,20 +149,15 @@ object SetSimJoin {
     * enough for the bitset path, else None. Both frames are eagerly
     * localCheckpoint'd: `sets` feeds both expansion joins, `masks` both
     * sides of the BNLJ, and the checkpointed sizes let AQE broadcast
-    * them from true stats. */
-  private def denseSets(docs: DataFrame, idCol: String,
-                        wordsCol: String): Option[(DataFrame, DataFrame)] = {
-    val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
-    // one cheap pass; 5% rsd cannot confuse a 62-token vocabulary with a
-    // web-scale one, so the later exact count only ever runs on tiny dicts
-    val approx = toks.agg(approx_count_distinct(col("tok")).as("v")).head().getLong(0)
-    if (approx > 2L * MaxDenseBits) return None
-    val dict = toks.select("tok").distinct()
+    * them from true stats. The caller guarantees |dict| ≤ MaxDenseBits,
+    * so the bit-assignment window is a ≤62-row bounded frame (the q90
+    * |sources|-window shape), never corpus- or vocabulary-scaled. */
+  private def denseSets(toks: DataFrame,
+                        dict: DataFrame): Option[(DataFrame, DataFrame)] = {
+    val bits = dict.select("tok")
       .withColumn("bit", row_number().over(Window.orderBy(col("tok"))) - 1)
-      .localCheckpoint(true)
-    if (dict.count() > MaxDenseBits) return None
     // bit_or, not sum: robust even if a caller passes non-deduped arrays
-    val sets = toks.join(broadcast(dict), "tok")
+    val sets = toks.join(broadcast(bits), "tok")
       .groupBy("doc_id").agg(expr("bit_or(shiftleft(1L, bit))").as("mask"))
       .localCheckpoint(true)
     val masks = sets.select("mask").distinct().localCheckpoint(true)
@@ -194,22 +208,34 @@ object SetSimJoin {
     * `wordsCol` must hold de-duplicated token arrays. Output:
     * (a_id, b_id, n_common, n_union) with a_id < b_id. Adaptive: a
     * ≤62-token vocabulary routes to the bitset-signature plan, anything
-    * larger to prefix filtering — both exact, same output. */
+    * larger to prefix filtering — both exact, same output; one shared
+    * dictionary pass makes the routing decision. */
   def jaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                      tNum: Long, tDen: Long): DataFrame =
-    denseSets(docs, idCol, wordsCol) match {
+                      tNum: Long, tDen: Long): DataFrame = {
+    val toks = tokensOf(docs, idCol, wordsCol)
+    val dict = buildDict(toks)
+    val dense =
+      if (dict.count() <= MaxDenseBits) denseSets(toks, dict) else None
+    dense match {
       case Some((sets, masks)) => denseJaccard(sets, masks, tNum, tDen)
-      case None                => sparseJaccardSelfJoin(docs, idCol, wordsCol, tNum, tDen)
+      case None                => prefixJaccard(toks, dict, tNum, tDen)
     }
+  }
 
-  /** Prefix-filtered Jaccard plan, unconditionally (exposed for tests). */
-  private[graft] def sparseJaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                                           tNum: Long, tDen: Long): DataFrame =
-    prefixCandidates(docs, idCol, wordsCol, tNum, tDen)
+  private def prefixJaccard(toks: DataFrame, dict: DataFrame,
+                            tNum: Long, tDen: Long): DataFrame =
+    prefixCandidates(toks, dict, tNum, tDen)
       .withColumn("n_common", size(array_intersect(col("aw"), col("bw"))))
       .withColumn("n_union", col("a_len") + col("b_len") - col("n_common"))
       .where(col("n_common") * tDen >= col("n_union") * tNum)
       .select("a_id", "b_id", "n_common", "n_union")
+
+  /** Prefix-filtered Jaccard plan, unconditionally (exposed for tests). */
+  private[graft] def sparseJaccardSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
+                                           tNum: Long, tDen: Long): DataFrame = {
+    val toks = tokensOf(docs, idCol, wordsCol)
+    prefixJaccard(toks, buildDict(toks), tNum, tDen)
+  }
 
   /** Exact CONTAINMENT self-join: every DIRECTED pair with
     * |A∩B| / |A| ≥ tNum/tDen, A ≠ B — the asymmetric cousin of Jaccard
@@ -233,20 +259,20 @@ object SetSimJoin {
     * Adaptive like [[jaccardSelfJoin]]: ≤62-token vocabularies take the
     * bitset plan (where one-sided pruning has nothing rare to index). */
   def containmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                          tNum: Long, tDen: Long): DataFrame =
-    denseSets(docs, idCol, wordsCol) match {
+                          tNum: Long, tDen: Long): DataFrame = {
+    val toks = tokensOf(docs, idCol, wordsCol)
+    val dict = buildDict(toks)
+    val dense =
+      if (dict.count() <= MaxDenseBits) denseSets(toks, dict) else None
+    dense match {
       case Some((sets, masks)) => denseContainment(sets, masks, tNum, tDen)
-      case None                => sparseContainmentSelfJoin(docs, idCol, wordsCol, tNum, tDen)
+      case None                => prefixContainment(toks, dict, tNum, tDen)
     }
+  }
 
-  /** Prefix-filtered containment plan, unconditionally (exposed for tests). */
-  private[graft] def sparseContainmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
-                                               tNum: Long, tDen: Long): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), explode(col(wordsCol)).as("tok"))
-    val dict = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("tok"))))
-      .select("tok", "rank")
-    val ranked = toks.join(dict, "tok")
+  private def prefixContainment(toks: DataFrame, dict: DataFrame,
+                                tNum: Long, tDen: Long): DataFrame = {
+    val ranked = toks.join(rankedDict(dict), "tok")
       .groupBy("doc_id").agg(sort_array(collect_list(col("rank"))).as("rw"))
       .select(col("doc_id"), col("rw"), size(col("rw")).as("len"))
       .withColumn("alpha", expr(s"CAST(($tNum * len + $tDen - 1) div $tDen AS INT)"))
@@ -271,5 +297,12 @@ object SetSimJoin {
       .where(col("n_common") * tDen >= col("a_len") * tNum)
       .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
         col("n_common"), col("a_len"))
+  }
+
+  /** Prefix-filtered containment plan, unconditionally (exposed for tests). */
+  private[graft] def sparseContainmentSelfJoin(docs: DataFrame, idCol: String, wordsCol: String,
+                                               tNum: Long, tDen: Long): DataFrame = {
+    val toks = tokensOf(docs, idCol, wordsCol)
+    prefixContainment(toks, buildDict(toks), tNum, tDen)
   }
 }

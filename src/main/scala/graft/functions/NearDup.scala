@@ -28,9 +28,17 @@ object NearDup {
     require(bandBits >= 1 && bandBits <= 32, s"bandBits $bandBits out of range")
     val nBands = (64 + bandBits - 1) / bandBits
     val mask = (1L << bandBits) - 1
-    val banded = df.select(col(idCol).as("a_id"), col(hashCol).as("a_h"),
+    // The (id, hash) projection feeds BOTH sides of the bucket
+    // equi-join; without eager materialization the caller's hash
+    // DERIVATION (e.g. q47's md5-simhash over every token of the
+    // corpus) executes once per side. The checkpointed frame is 16
+    // bytes/row — the cheapest point to cut: banding re-derives from it
+    // in-row, the corpus text is scanned once.
+    val h = df.select(col(idCol).as("a_id"), col(hashCol).as("a_h"))
+      .localCheckpoint(true)
+    val banded = h.select(col("a_id"), col("a_h"),
         posexplode(array((0 until nBands).map(b =>
-          shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*)))
+          shiftrightunsigned(col("a_h"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val other = banded.select(col("a_id").as("b_id"), col("a_h").as("b_h"),
       col("band"), col("bucket"))

@@ -48,15 +48,28 @@ object MosaicCcl {
     val nodes = base
       .select(col("t"), posexplode(col("sizes")).as(Seq("local", "size")))
       .select((col("t") * 65536L + col("local")).as("node_id"), col("size"))
-    def side(arr: String, orient: Int, ownerT: org.apache.spark.sql.Column) =
-      base.select(col("t"), posexplode(col(arr)).as(Seq("pos", "local")))
-        .where(col("local") >= 0)
-        .select(((ownerT * 2L + orient) * 65536L + col("pos")).as("ifc_key"),
-          (col("t") * 65536L + col("local")).as("node_id"))
-    val claims = side("lf", 0, col("t"))               // my left edge: I own it
-      .unionAll(side("rt", 0, col("t") + 65536L))      // my right edge: east tile owns it
-      .unionAll(side("bt", 1, col("t")))               // my bottom row: I am the north tile
-      .unionAll(side("tp", 1, col("t") + 1L))          // my top row: north neighbour owns it
+    // All four boundary claim streams come out of ONE pass over the
+    // fragment frame: each side's (ifc_key, node_id) rows are built
+    // in-row by codegen'd array transforms, concatenated, and exploded
+    // once — versus the former 4-way unionAll of per-side projections,
+    // which scanned the checkpoint four times and quadrupled the map
+    // tasks feeding the stitch groupBy's Exchange.
+    def sideArr(arr: String, orient: Int,
+                ownerT: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(
+        filter(
+          transform(col(arr), (v, i) => struct(v.as("v"), i.as("i"))),
+          s => s.getField("v") >= 0),
+        s => struct(
+          ((ownerT * 2L + orient) * 65536L + s.getField("i")).as("ifc_key"),
+          (col("t") * 65536L + s.getField("v")).as("node_id")))
+    val claims = base
+      .select(explode(concat(
+        sideArr("lf", 0, col("t")),            // my left edge: I own it
+        sideArr("rt", 0, col("t") + 65536L),   // my right edge: east tile owns it
+        sideArr("bt", 1, col("t")),            // my bottom row: I am the north tile
+        sideArr("tp", 1, col("t") + 1L))).as("c")) // my top row: north neighbour owns it
+      .select(col("c.ifc_key").as("ifc_key"), col("c.node_id").as("node_id"))
     (nodes, claims)
   }
 

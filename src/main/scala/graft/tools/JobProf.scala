@@ -25,7 +25,9 @@ object JobProf {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse {
+            js.stageInfos.map(si => si.name.takeWhile(_ != '\n')).distinct.mkString(" | ")
+          }
         starts.put(js.jobId, (js.time, site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -2611,6 +2611,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.map(_.getLong(2)) == (1L to 500L).toSet)
   }
 
+  test("GlobalRank.byLongStringKey equals single-partition row_number over (long, string)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Zipf-shaped long keys (most rows share df=1 — the shape that
+    // defeats fixed-width bucketing) tie-broken by unique strings
+    val rows = (1 to 300).map { i =>
+      val df = if (i % 10 == 0) (i / 10).toLong else 1L
+      (df, s"tok${(i * 7919) % 1000}%04d$i")
+    }
+    val df = rows.toDF("df", "tok").repartition(7)
+    val want = df.withColumn("rk",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(org.apache.spark.sql.functions.col("df"),
+            org.apache.spark.sql.functions.col("tok"))).cast("long"))
+      .select("tok", "rk").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (b <- Seq(1, 3, 32)) {
+      val got = functions.GlobalRank.byLongStringKey(df, "df", "tok", "rk", buckets = b)
+        .select("tok", "rk").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"buckets=$b")
+    }
+  }
+
+  test("SetSimJoin sparse path: no SinglePartition in any executed or final plan") {
+    import spark.implicits._
+    // >62-token vocabulary so even the routed entry points would take the
+    // sparse plan; the direct sparse* calls always do. Capture every
+    // INTERIOR plan (localCheckpoint materializations — where the old
+    // dictionary-rank SinglePartition window lived) with a listener,
+    // plus the final plan.
+    val docs = (0 until 40)
+      .map(i => (i.toLong, (0 until 12).map(j => s"w${(i * 5 + j) % 80}")))
+      .toDF("doc_id", "words")
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val j = functions.SetSimJoin.sparseJaccardSelfJoin(docs, "doc_id", "words", 8L, 10L)
+      j.collect()
+      val c = functions.SetSimJoin.sparseContainmentSelfJoin(docs, "doc_id", "words", 8L, 10L)
+      c.collect()
+      plans.synchronized {
+        plans += j.queryExecution.executedPlan.toString
+        plans += c.queryExecution.executedPlan.toString
+      }
+      Thread.sleep(3000) // listener bus is async
+      val all = plans.synchronized(plans.toVector)
+      assert(all.nonEmpty)
+      all.foreach(p =>
+        assert(!p.contains("SinglePartition"), s"sparse path funnels through one task:\n$p"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ------------------------------------------------ q125 image canonicalization
 
   test("image canonicalization (q125): one keep per cluster, copies cluster with originals") {

@@ -1488,7 +1488,12 @@ object Queries {
           |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))""".stripMargin)).as("ng"))
       .select(col("doc_id"),
         conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("h"))
+    // benchmark-sized by contract; eagerly materialized because it has
+    // THREE consumers (the sizing count, the bloom build, the exact
+    // confirm join) — without the checkpoint each re-derives the
+    // test-side gram scan
     val testGrams = grams.where(col("doc_id") % 20 === 0).select("h").distinct()
+      .localCheckpoint(true)
     val bf = graft.functions.Bloom.filterOf(testGrams, "h", fpp = 0.01)
     val hits = grams.where(col("doc_id") % 20 =!= 0)
       .where(graft.functions.Bloom.mightContain(col("h"), bf))
@@ -3696,15 +3701,15 @@ object Queries {
   private def gramFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val dim = 64
-    val nCells = dim * (dim + 1) / 2
-    val cells = expr(
-      "flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j -> " +
-        "CAST(floor(element_at(e, i + 1) * element_at(e, j + 1) * 1048576.0) AS BIGINT))))")
+    // fused [[graft.functions.GramSum]]: one primitive-loop pass per row
+    // straight off the embedding array — same cell math, same bounded
+    // 2080-long buffer, but no per-row 2080-cell scratch array and no
+    // interpreted nested-transform lambdas (the former spelling's
+    // dominant per-task cost; equality pinned by the OperatorsSpec
+    // differential test against the transform+LongArraySum plan)
     t(s, dir, "embeddings")
-      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
-      .select(cells.as("cells"))
       .agg(GraftBridge.column(
-        graft.functions.LongArraySum(GraftBridge.expression(col("cells")), nCells)
+        graft.functions.GramSum(GraftBridge.expression(col("embedding")), dim)
           .toAggregateExpression()).as("g"))
   }
 
@@ -4009,6 +4014,10 @@ object Queries {
       .withColumn("rank", row_number().over(Window.orderBy("tok")))
       .withColumn("cum", sum("w").over(Window.orderBy("rank")))
       .select("rank", "tok", "w", "cum")
+      // dictionary-sized, two consumers (the cumulative-table collect
+      // and the broadcast join): materialize once so the corpus
+      // explode+groupBy doesn't run per consumer
+      .localCheckpoint(true)
     val d = vocab.orderBy("rank").collect()
     val cum = d.map(_.getLong(3))
     val picks = t(s, dir, "documents").where(col("doc_id") % 50 === 0)

@@ -566,6 +566,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(summed(withNulls) == expect)
   }
 
+  test("GramSum: equals the transform+LongArraySum gram, floats widen, nulls skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val dim = 5
+    val nCells = dim * (dim + 1) / 2
+    val rows = (0 until 100).map { r =>
+      (r.toLong, Array.tabulate(dim)(i =>
+        ((Synthetic.mix2(r.toLong, i) % 2000L) - 1000L).toDouble / 311.0))
+    }
+    val df = rows.toDF("id", "e")
+    def fused(d: org.apache.spark.sql.DataFrame, c: String): Seq[Long] =
+      d.agg(GraftBridge.column(
+        graft.functions.GramSum(GraftBridge.expression(col(c)), dim)
+          .toAggregateExpression()).as("g")).head().getSeq[Long](0)
+    // the former gramFrame spelling, as the differential oracle
+    val cells = expr(
+      s"flatten(transform(sequence(0, ${dim - 1}), i -> transform(sequence(i, ${dim - 1}), j -> " +
+        "CAST(floor(element_at(e, i + 1) * element_at(e, j + 1) * 1048576.0) AS BIGINT))))")
+    val viaTransform = df
+      .select(transform(col("e"), x => x.cast("double")).as("e"))
+      .select(cells.as("cells"))
+      .agg(GraftBridge.column(
+        graft.functions.LongArraySum(GraftBridge.expression(col("cells")), nCells)
+          .toAggregateExpression()).as("g")).head().getSeq[Long](0)
+    assert(fused(df, "e") == viaTransform)
+    // partitioning-free (partial agg + merge)
+    assert(fused(df.repartition(13), "e") == viaTransform)
+    // float input widens per element like CAST(x AS DOUBLE)
+    val dfF = df.withColumn("ef", transform(col("e"), x => x.cast("float")))
+    val viaTransformF = dfF
+      .select(transform(col("ef"), x => x.cast("double")).as("e"))
+      .select(cells.as("cells"))
+      .agg(GraftBridge.column(
+        graft.functions.LongArraySum(GraftBridge.expression(col("cells")), nCells)
+          .toAggregateExpression()).as("g")).head().getSeq[Long](0)
+    assert(fused(dfF, "ef") == viaTransformF)
+    // null rows skipped like builtin aggregates
+    val withNulls = df.withColumn("e",
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("e")))
+    val expect = df.where(col("id") % 3 =!= 0)
+    assert(fused(withNulls, "e") == fused(expect, "e"))
+  }
+
   test("semdedup cluster-bucketed near-dup: equi-join plan, no all-pairs") {
     val df = Queries.all("q102_semdedup")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

@@ -330,7 +330,15 @@ object VegPipeline extends org.apache.spark.internal.Logging {
       .select(col("cell"), col("image_id"), col("bytes"))
       .where(col("cell").isNotNull)
 
-    // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels
+    // RGB ⋈ CIR fusion join on tile cell (J2) for IRGB kernels.
+    // Deliberately a SortMergeJoin: each side's payload crosses exactly
+    // one Exchange (the floor for a non-co-located layout) and SMJ
+    // spills gracefully. A shuffle_hash hint was MEASURED WORSE here
+    // (IrgbProbe irgb_quarter 2.49 -> 2.87 s min with a 34 s GC-bound
+    // outlier): the build side pins a partition's whole CIR payload in
+    // an in-memory HashedRelation, which is exactly the §3.1 OOM risk
+    // for fat rows. The zero-Exchange answer is the bucketed layout
+    // (TileBuckets), benched separately as q34_irgb_bucketed.
     val tilesWithCell = cirTiles match {
       case Some(cir) =>
         val cirWithCell = withCell(prune(cir))

@@ -1849,8 +1849,12 @@ object Queries {
     * theta-join. Per-row work never leaves the map stage. */
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("n_chars"))
-    val total = docs.count()
+    // one corpus pass: the histogram both yields the total row count
+    // (Σ cnt ≡ count(*)) and feeds the distributed prefix sum — the
+    // former separate docs.count() was a second full scan
     val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = hist.agg(sum("cnt")).head().getLong(0)
     val cum = graft.functions.PrefixSum.runningTotal(hist, "n_chars", "cnt", "cum")
     val targets = Seq(25, 50, 75, 95, 99).map(p => (p, (p * total + 99) / 100))
     val tdf = s.createDataFrame(targets).toDF("pct", "rank")
@@ -2140,28 +2144,31 @@ object Queries {
   /** Tile-pyramid rollup (the raster-pyramid / multi-zoom density build
     * behind every slippy-map overview and the S12 UK-summary raster's
     * scale ladder): point density + weight aggregated at zoom levels
-    * 0..4, level-z cell = (e >> z, n >> z). Plan shape: ONE base
-    * aggregation collapses points to finest-level cells, then a bounded
-    * 5-way level explode re-aggregates — partial (map-side) aggregation
-    * absorbs the fanout before the single exchange, so the shuffle
+    * 0..4, level-z cell = (e >> z, n >> z). Plan shape: a bounded
+    * 5-way level explode map-side over the raw points into ONE
+    * aggregation — partial (map-side) aggregation performs the
+    * points→cells collapse before the single exchange, so the shuffle
     * carries ~Σ-level-cells rows, never points × levels; no iterative
     * per-level scans. Weights use floor() before the long cast (Spark
     * truncates double→long, DuckDB rounds — floor pins both). */
   private def q70(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "lineitem")
+    // ONE aggregation: the bounded 5-way level explode runs map-side on
+    // the raw points and partial (map-side) aggregation performs the
+    // points→cells collapse inside the same stage, so a single Exchange
+    // carries ~Σ-level-cells rows — the former two-step (base cell agg,
+    // then explode + re-agg) paid a second full shuffle for a collapse
+    // the combiner already does.
+    t(s, dir, "lineitem")
       .select((col("l_orderkey") % 700).cast("long").as("e"),
         (col("l_partkey") % 1300).cast("long").as("n"),
         floor(col("l_quantity")).cast("long").as("q"))
-      .groupBy("e", "n")
-      .agg(count(lit(1)).as("n_pts"), sum("q").as("qty"))
-    base.select(explode(expr("sequence(0, 4)")).as("lvl"),
-        col("e"), col("n"), col("n_pts"), col("qty"))
+      .select(explode(expr("sequence(0, 4)")).as("lvl"), col("e"), col("n"), col("q"))
       .select(col("lvl").cast("long").as("level"),
         expr("shiftright(e, lvl)").as("cell_e"),
         expr("shiftright(n, lvl)").as("cell_n"),
-        col("n_pts"), col("qty"))
+        col("q"))
       .groupBy("level", "cell_e", "cell_n")
-      .agg(sum("n_pts").as("n_pts"), sum("qty").as("qty"))
+      .agg(count(lit(1)).as("n_pts"), sum("q").as("qty"))
       .orderBy("level", "cell_e", "cell_n")
   }
 
@@ -3753,8 +3760,12 @@ object Queries {
     * oracle's n×N inequality join. Exactly n rows at every scale. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val n = 100L
+    // one corpus scan: the narrow (doc_id, w) projection is materialized
+    // and feeds both the total and the prefix sum (whose internal
+    // re-materialization then copies 16-byte rows, not the corpus scan)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .localCheckpoint(true)
     val total = docs.agg(sum("w")).head().getLong(0)
     graft.functions.PrefixSum.runningTotal(docs, "doc_id", "w", "cum")
       .withColumn("cb", col("cum") - col("w"))

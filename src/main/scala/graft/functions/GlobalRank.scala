@@ -46,7 +46,11 @@ object GlobalRank {
       // leading bytes would need an unsigned shift — assert instead.
       conv(hex(substring(padded, 1, 8)), 16, 10).cast("long")
     }
-    val withP = df.withColumn("__grp", prefix)
+    // the prefixed frame feeds THREE passes (the min/max agg, the
+    // bucket counts, the final local rank) — materialize once so the
+    // caller's derivation (q125's generated phash union, q122's scan)
+    // doesn't re-execute per pass
+    val withP = df.withColumn("__grp", prefix).localCheckpoint(true)
     val Array(kmin, kmax) = withP.agg(min(col("__grp")), max(col("__grp"))).head() match {
       case r if r.isNullAt(0) => return df.withColumn(outCol, lit(null).cast("long"))
       case r => Array(r.getLong(0), r.getLong(1))

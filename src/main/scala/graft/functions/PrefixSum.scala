@@ -44,9 +44,15 @@ object PrefixSum {
   def runningTotal(df: DataFrame, keyCol: String, valueCol: String,
                    outCol: String, buckets: Int = 32): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    // the input feeds THREE passes (the min/max agg, the bucket totals,
+    // the final local cumsum) — materialize it once so its derivation
+    // (often a corpus scan + aggregation at the call sites) doesn't
+    // re-execute per pass; callers pass narrow (key, value[, ...])
+    // projections by contract
+    val dfm = df.localCheckpoint(true)
     val kc = col(keyCol).cast("long")
-    val Array(kmin, kmax) = df.agg(min(kc), max(kc)).head() match {
-      case r if r.isNullAt(0) => return df.withColumn(outCol, lit(null).cast("long"))
+    val Array(kmin, kmax) = dfm.agg(min(kc), max(kc)).head() match {
+      case r if r.isNullAt(0) => return dfm.withColumn(outCol, lit(null).cast("long"))
       case r => Array(r.getLong(0), r.getLong(1))
     }
     // equal-width range buckets over [kmin, kmax]: order-preserving
@@ -62,7 +68,7 @@ object PrefixSum {
       s"key span $span exceeds a long — re-key or densify first")
     val width = ((span + buckets - 1) / buckets).max(1).toLong
     val bucket = ((kc - kmin) / width).cast("int")
-    val withB = df.withColumn("__psb", bucket)
+    val withB = dfm.withColumn("__psb", bucket)
 
     val w = Window.partitionBy("__psb").orderBy(col(keyCol).asc)
     val local = withB.withColumn("__pslocal", sum(col(valueCol).cast("long")).over(w))

@@ -2070,10 +2070,14 @@ object Queries {
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
+    // |sources|-bounded with two consumers (the median gate join and the
+    // final join): materialize once so the corpus aggregation behind it
+    // doesn't re-execute per consumer
     val stats = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("n_chars").as("total_chars"),
       countDistinct("lang").as("n_langs"))
+      .localCheckpoint(true)
     val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2891,7 +2895,10 @@ object Queries {
         .groupBy("source").agg(min(valCol).as(out))
     }
     val docs = t(s, dir, "documents").select("source", "n_chars")
-    val med = groupedMedian(docs, "n_chars", "med")
+    // |sources|-bounded; `dev` (docs ⋈ med) is derived by BOTH the mad
+    // pass and the final aggregation, so without materialization the
+    // grouped-median histogram+window behind med executes twice
+    val med = groupedMedian(docs, "n_chars", "med").localCheckpoint(true)
     val dev = docs.join(broadcast(med), "source")
       .withColumn("dev", abs(col("n_chars") - col("med")))
     val mad = groupedMedian(dev.select("source", "dev"), "dev", "mad")
@@ -3256,7 +3263,11 @@ object Queries {
     val lab = t(s, dir, "documents").select(col("lang"),
       when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de")
         .as("lang_guess"))
+    // |langs|²-bounded confusion matrix with FOUR consumers (rows, cols,
+    // the agree totals, the final cell join): materialize once so the
+    // 12-regex corpus scan behind it doesn't re-execute per consumer
     val cells = lab.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint(true)
     val rows = cells.groupBy("lang").agg(sum("n_cell").as("row_tot"))
     val cols = cells.groupBy("lang_guess").agg(sum("n_cell").as("col_tot"))
     val g = cells.agg(sum("n_cell").as("n"),

@@ -2070,14 +2070,14 @@ object Queries {
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    // |sources|-bounded with two consumers (the median gate join and the
-    // final join): materialize once so the corpus aggregation behind it
-    // doesn't re-execute per consumer
+    // stats has two consumers, but an eager checkpoint measured SLOWER
+    // in a same-epoch A/B (0.83 vs 0.62 s at sf0.1): the corpus
+    // aggregation is one narrow-column scan and the added action costs
+    // more than the re-derivation saves — left lazy deliberately
     val stats = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("n_chars").as("total_chars"),
       countDistinct("lang").as("n_langs"))
-      .localCheckpoint(true)
     val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2148,31 +2148,32 @@ object Queries {
   /** Tile-pyramid rollup (the raster-pyramid / multi-zoom density build
     * behind every slippy-map overview and the S12 UK-summary raster's
     * scale ladder): point density + weight aggregated at zoom levels
-    * 0..4, level-z cell = (e >> z, n >> z). Plan shape: a bounded
-    * 5-way level explode map-side over the raw points into ONE
-    * aggregation — partial (map-side) aggregation performs the
-    * points→cells collapse before the single exchange, so the shuffle
+    * 0..4, level-z cell = (e >> z, n >> z). Plan shape: ONE base
+    * aggregation collapses points to finest-level cells, then a bounded
+    * 5-way level explode re-aggregates — partial (map-side) aggregation
+    * absorbs the fanout before the single exchange, so the shuffle
     * carries ~Σ-level-cells rows, never points × levels; no iterative
-    * per-level scans. Weights use floor() before the long cast (Spark
-    * truncates double→long, DuckDB rounds — floor pins both). */
+    * per-level scans. (A single-aggregation spelling that explodes the
+    * RAW points 5-way and relies on the combiner alone was measured
+    * SLOWER in a same-epoch A/B — 1.5 vs 1.0 s at sf0.1 — and shuffles
+    * 5× the base key domain at scale; the base collapse stays.)
+    * Weights use floor() before the long cast (Spark truncates
+    * double→long, DuckDB rounds — floor pins both). */
   private def q70(s: SparkSession, dir: String): DataFrame = {
-    // ONE aggregation: the bounded 5-way level explode runs map-side on
-    // the raw points and partial (map-side) aggregation performs the
-    // points→cells collapse inside the same stage, so a single Exchange
-    // carries ~Σ-level-cells rows — the former two-step (base cell agg,
-    // then explode + re-agg) paid a second full shuffle for a collapse
-    // the combiner already does.
-    t(s, dir, "lineitem")
+    val base = t(s, dir, "lineitem")
       .select((col("l_orderkey") % 700).cast("long").as("e"),
         (col("l_partkey") % 1300).cast("long").as("n"),
         floor(col("l_quantity")).cast("long").as("q"))
-      .select(explode(expr("sequence(0, 4)")).as("lvl"), col("e"), col("n"), col("q"))
+      .groupBy("e", "n")
+      .agg(count(lit(1)).as("n_pts"), sum("q").as("qty"))
+    base.select(explode(expr("sequence(0, 4)")).as("lvl"),
+        col("e"), col("n"), col("n_pts"), col("qty"))
       .select(col("lvl").cast("long").as("level"),
         expr("shiftright(e, lvl)").as("cell_e"),
         expr("shiftright(n, lvl)").as("cell_n"),
-        col("q"))
+        col("n_pts"), col("qty"))
       .groupBy("level", "cell_e", "cell_n")
-      .agg(count(lit(1)).as("n_pts"), sum("q").as("qty"))
+      .agg(sum("n_pts").as("n_pts"), sum("qty").as("qty"))
       .orderBy("level", "cell_e", "cell_n")
   }
 
@@ -3263,11 +3264,12 @@ object Queries {
     val lab = t(s, dir, "documents").select(col("lang"),
       when(en >= fr && en >= de, "en").when(fr >= de, "fr").otherwise("de")
         .as("lang_guess"))
-    // |langs|²-bounded confusion matrix with FOUR consumers (rows, cols,
-    // the agree totals, the final cell join): materialize once so the
-    // 12-regex corpus scan behind it doesn't re-execute per consumer
+    // cells has four consumers but is left LAZY deliberately: its
+    // aggregation Exchange is identical under every consumer, so AQE
+    // exchange reuse already runs the 12-regex corpus scan once — an
+    // eager checkpoint measured SLOWER in a same-epoch A/B
+    // (0.76 vs 0.62 s at sf0.1, the cost of the extra action)
     val cells = lab.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_cell"))
-      .localCheckpoint(true)
     val rows = cells.groupBy("lang").agg(sum("n_cell").as("row_tot"))
     val cols = cells.groupBy("lang_guess").agg(sum("n_cell").as("col_tot"))
     val g = cells.agg(sum("n_cell").as("n"),
@@ -3771,12 +3773,8 @@ object Queries {
     * oracle's n×N inequality join. Exactly n rows at every scale. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val n = 100L
-    // one corpus scan: the narrow (doc_id, w) projection is materialized
-    // and feeds both the total and the prefix sum (whose internal
-    // re-materialization then copies 16-byte rows, not the corpus scan)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("w"))
-      .localCheckpoint(true)
     val total = docs.agg(sum("w")).head().getLong(0)
     graft.functions.PrefixSum.runningTotal(docs, "doc_id", "w", "cum")
       .withColumn("cb", col("cum") - col("w"))
